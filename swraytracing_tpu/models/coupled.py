@@ -1,0 +1,196 @@
+"""Lock-step coupled flow + wave-packet driver (layer L4).
+
+Re-design of the production SLURM entry point
+/root/reference/qg_flow_ray_trace/qgsw_raytrace.m: every flow step
+advances the one-layer QG field one AB3 step, then sub-cycles the packet
+ray ODE between the previous and new flow snapshots with linear blending
+in time (interpolate_U.m:19-23). The reference sub-cycles with adaptive
+MATLAB ode23 (qgsw_raytrace.m:149); we use a fixed number of RK23/RK4
+substeps per flow step, which keeps the whole loop a `lax.scan` (static
+shapes, reproducible, reverse-differentiable).
+
+The velocity/gradient grids of the *previous* step are reused as the
+blend-start snapshot, so the per-step cost is one QG RHS (5 FFTs) + one
+grid_U (6 FFTs) + n_substeps fused packet updates — the reference
+recomputes grid_U twice per step (12 extra FFTs) and pays a 36-point
+scalar gather per packet per ode23 stage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from ..ops.grid import SpectralGrid
+from ..ops import spectral as sp
+from .dispersion import Dispersion
+from .fields import BlendedFlow, flow_from_qk
+from .qg import (QGParams, QGState, qg_init, qg_step, initial_q_ring,
+                 inertial_ring_forcing, max_speed)
+from . import rays
+
+__all__ = ["CoupledConfig", "CoupledSetup", "CoupledCarry", "setup_coupled",
+           "coupled_flow_packet_step", "run_coupled_chunk", "ring_packet_ics"]
+
+
+class CoupledConfig(NamedTuple):
+    """Mirrors the qgsw_raytrace positional signature
+    (qgsw_raytrace.m:1) plus the tuning constants it hard-codes."""
+
+    nx: int = 256
+    n_packets: int = 50
+    near_inertial_factor: float = 2.0   # w0: initial omega / f
+    T_Fr_days: float = 6000.0
+    packet_delay_days: float = 1000.0
+    U_g: float = 0.4
+    f: float = 3.0
+    Cg: float = 1.0
+    L: float = 2.0 * np.pi
+    beta: float = 0.0
+    r_drag: float = 0.1
+    forcing_strength: float = 0.1
+    CFL_fraction: float = 0.05          # qgsw_raytrace.m:29
+    steps_per_save: int = 50
+    packet_steps_per_save: int = 5
+    n_substeps: int = 4                 # packet substeps per flow step
+    stepper: str = "rk23"               # 'rk23' | 'rk4' | 'symplectic'
+    seed: int = 146                     # rng(146), qgsw_raytrace.m:23
+    ring_ic: bool = True                # False reproduces the reference bug
+    reference_quirks: bool = False
+    dealias: bool = False
+
+
+class CoupledSetup(NamedTuple):
+    grid: SpectralGrid
+    disp: Dispersion
+    qg_params: QGParams
+    dt: float
+    n_steps: int
+    packet_delay: float
+    packet_step_start: int
+    Fr: float
+    U0: float
+    T: float
+
+
+@struct.dataclass
+class CoupledCarry:
+    flow_state: QGState
+    packet_x: jnp.ndarray        # (Np, 2)
+    packet_k: jnp.ndarray        # (Np, 2)
+    prev_fields: jnp.ndarray     # (6, nx, ny) grid_U of previous step
+
+
+def ring_packet_ics(cfg: CoupledConfig, grid: SpectralGrid, seed=None):
+    """Packet ICs (qgsw_raytrace.m:54-60): |k| on the near-inertial ring
+    sqrt((w0^2-1) f^2 / Cg^2), equally spaced angles; positions uniform."""
+    rng = np.random.default_rng(cfg.seed if seed is None else seed)
+    i = np.arange(1, cfg.n_packets + 1)
+    wf = np.sqrt((cfg.near_inertial_factor**2 - 1.0) * cfg.f**2 / cfg.Cg**2)
+    k = wf * np.stack([np.cos(2 * np.pi * i / cfg.n_packets),
+                       np.sin(2 * np.pi * i / cfg.n_packets)], axis=-1)
+    x = rng.uniform(0.0, cfg.L, (cfg.n_packets, 2))
+    return jnp.asarray(x), jnp.asarray(k)
+
+
+def setup_coupled(cfg: CoupledConfig):
+    """Build grid, params, ICs and the CFL time step, mirroring
+    qgsw_raytrace.m:13-73.
+
+    Returns (setup, carry0).
+    """
+    grid = SpectralGrid.square(cfg.nx, cfg.L)
+    disp = Dispersion(f=cfg.f, Cg=cfg.Cg)
+    Kd2 = cfg.f / cfg.Cg  # K_d2 = f/Cg as the reference (qgsw_raytrace.m:27)
+
+    qk0 = initial_q_ring(cfg.seed, grid, cfg.U_g, Kd2, ring=cfg.ring_ic)
+    forcing = inertial_ring_forcing(cfg.forcing_strength, grid, cfg.f, cfg.Cg)
+
+    U0 = float(max_speed(qk0, grid, Kd2))
+    Fr = U0 / cfg.Cg
+    T_days = cfg.T_Fr_days / cfg.f
+    T = T_days / Fr**2
+    dt = cfg.CFL_fraction * grid.dx / U0
+    n_steps = int(np.ceil(T / dt))
+    packet_delay = cfg.packet_delay_days / cfg.f
+    packet_step_start = int(np.ceil(packet_delay / dt))
+
+    ef = sp.exp_filter(grid)
+    qp = QGParams(Kd2=Kd2, beta=cfg.beta, r_drag=cfg.r_drag, dt=dt,
+                  forcing=jnp.asarray(forcing), filter=jnp.asarray(ef),
+                  dealias=cfg.dealias, reference_quirks=cfg.reference_quirks)
+
+    px0, pk0 = ring_packet_ics(cfg, grid)
+    fields0 = flow_from_qk(qk0, grid, Kd2).fields
+    carry0 = CoupledCarry(flow_state=qg_init(qk0), packet_x=px0,
+                          packet_k=pk0, prev_fields=fields0)
+    setup = CoupledSetup(grid=grid, disp=disp, qg_params=qp, dt=dt,
+                         n_steps=n_steps, packet_delay=packet_delay,
+                         packet_step_start=packet_step_start, Fr=Fr, U0=U0,
+                         T=T)
+    return setup, carry0
+
+
+def _substep_fn(name: str):
+    if name == "rk23":
+        return rays.rk23_step
+    if name == "rk4":
+        return rays.rk4_step
+    if name == "symplectic":
+        return None  # handled specially (no alpha ramp within substep)
+    raise ValueError(f"unknown stepper {name!r}")
+
+
+def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
+                             cfg: CoupledConfig) -> CoupledCarry:
+    """One lock-step iteration (qgsw_raytrace.m:121-151): AB3 flow step,
+    rebuild velocity grids, sub-cycle packets against the time-blended
+    snapshots. Packets are frozen (dt=0) until t > packet_delay, matching
+    the reference's gating at :140."""
+    grid, disp, qp = s.grid, s.disp, s.qg_params
+    new_state = qg_step(carry.flow_state, grid, qp)
+    fields2 = flow_from_qk(new_state.qk, grid, qp.Kd2).fields
+    flow = BlendedFlow(fields1=carry.prev_fields, fields2=fields2, grid=grid)
+
+    active = new_state.t > s.packet_delay
+    m = cfg.n_substeps
+    sub_dt = jnp.where(active, s.dt / m, 0.0)
+
+    step = _substep_fn(cfg.stepper)
+
+    def body(i, xk):
+        x, k = xk
+        a0 = i / m
+        if step is None:
+            return rays.symplectic_step(x, k, sub_dt, disp, flow,
+                                        alpha=a0 + 0.5 / m)
+        return step(x, k, sub_dt, disp, flow, alpha0=a0, dalpha=1.0 / m)
+
+    px, pk = lax.fori_loop(0, m, body, (carry.packet_x, carry.packet_k))
+    return CoupledCarry(flow_state=new_state, packet_x=px, packet_k=pk,
+                        prev_fields=fields2)
+
+
+def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
+                      cfg: CoupledConfig, n_saves: int):
+    """Advance n_saves * packet_steps_per_save flow steps, emitting a
+    packet snapshot every packet_steps_per_save steps (the reference's
+    packet save cadence, qgsw_raytrace.m:153-163).
+
+    Jit with static (s, cfg, n_saves). Returns
+    (carry, (px (n_saves,Np,2), pk (n_saves,Np,2), t (n_saves,))).
+    """
+
+    def one_save(c, _):
+        def body(i, cc):
+            return coupled_flow_packet_step(cc, s, cfg)
+
+        c = lax.fori_loop(0, cfg.packet_steps_per_save, body, c)
+        return c, (c.packet_x, c.packet_k, c.flow_state.t)
+
+    return lax.scan(one_save, carry, None, length=n_saves)

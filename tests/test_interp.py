@@ -1,0 +1,165 @@
+"""Interpolation tests — formalising the reference's comparison scripts
+(scratch/interpolate_test.m, scratch/fourier_interpolate_test.m,
+why_isnt_interpolate2_working.m): Lagrangian stencil vs direct Fourier
+(NUFFT) evaluation on band-limited fields."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swraytracing_tpu.ops.grid import SpectralGrid
+from swraytracing_tpu.ops import spectral as sp
+from swraytracing_tpu.ops.interp import (
+    lagrange_weights, interpolate, interpolate_stack)
+from swraytracing_tpu.ops.nufft import eval_spectrum_at, eval_spectrum_and_grad_at
+
+
+def test_weights_partition_of_unity():
+    fr = jnp.linspace(0.0, 0.999, 37)
+    w = lagrange_weights(fr, order=2)
+    assert w.shape == (37, 6)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-12)
+
+
+def test_weights_nodal():
+    """At frac=0 the weight must be 1 on the left node, 0 elsewhere."""
+    w = np.asarray(lagrange_weights(jnp.array([0.0]), order=2))[0]
+    expected = np.zeros(6)
+    expected[2] = 1.0  # node offset 0 is index 2 in offsets -2..3
+    np.testing.assert_allclose(w, expected, atol=1e-12)
+
+
+def test_polynomial_reproduction():
+    """Order-2 (6-point) Lagrangian interp is exact for degree<=5
+    polynomials of the grid coordinate (within one period)."""
+    grid = SpectralGrid.square(64)
+    xg = grid.x
+    # polynomial in the periodic sense: use a smooth band-limited field
+    f = np.sin(2 * xg)[:, None] * np.cos(3 * grid.y)[None, :]
+    rng = np.random.default_rng(0)
+    xp = rng.uniform(-np.pi, np.pi, 200)
+    yp = rng.uniform(-np.pi, np.pi, 200)
+    fi = np.asarray(interpolate(jnp.asarray(f), jnp.asarray(xp),
+                                jnp.asarray(yp), grid))
+    exact = np.sin(2 * xp) * np.cos(3 * yp)
+    # 6th-order accurate: at nx=64 and k<=3, error ~ (k dx)^6 ~ 1e-6
+    np.testing.assert_allclose(fi, exact, atol=5e-6)
+
+
+def test_matches_reference_algorithm():
+    """Bit-for-bit match (modulo the bump constant) of the reference's
+    per-particle loop (qg_flow_ray_trace/interpolate.m), re-run here in
+    numpy."""
+    grid = SpectralGrid.square(16)
+    rng = np.random.default_rng(1)
+    F = rng.standard_normal(grid.shape)
+    xp = rng.uniform(-10, 10, 25)
+    yp = rng.uniform(-10, 10, 25)
+
+    def reference_interp(x, y, F, dx, dy):
+        Iord = 2
+        nx, ny = F.shape
+        out = np.zeros_like(x)
+        for m in range(len(x)):
+            xl = np.mod(x[m] / dx, nx)
+            yl = np.mod(y[m] / dy, ny)
+            i0 = 1 + np.floor(xl)
+            j0 = 1 + np.floor(yl)
+            ax = 1 + xl - i0
+            ay = 1 + yl - j0
+            wx = np.ones(2 * (Iord + 1))
+            wy = np.ones(2 * (Iord + 1))
+            for i in range(-Iord, Iord + 2):
+                for j in range(-Iord, Iord + 2):
+                    if i != j:
+                        wx[i + Iord] *= (ax - j) / (j - i)
+                        wy[i + Iord] *= (ay - j) / (j - i)
+            for i in range(-Iord, Iord + 2):
+                for j in range(-Iord, Iord + 2):
+                    ig = int(np.mod(i0 + i - 1, nx))
+                    jg = int(np.mod(j0 + j - 1, nx))
+                    out[m] += wx[i + Iord] * wy[j + Iord] * F[ig, jg]
+        return out
+
+    ours = np.asarray(interpolate(jnp.asarray(F), jnp.asarray(xp),
+                                  jnp.asarray(yp), grid))
+    ref = reference_interp(xp, yp, F, grid.dx, grid.dy)
+    np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_against_nufft():
+    """Lagrangian interp converges to the direct spectral evaluation —
+    the fourier_interpolate_test.m check."""
+    grid = SpectralGrid.square(128)
+    rng = np.random.default_rng(2)
+    # smooth random band-limited field (modes <= 6)
+    fk = np.zeros(grid.spectral_shape, dtype=complex)
+    for k in range(-6, 7):
+        for l in range(0, 7):
+            fk[k % grid.nx, l] = (rng.standard_normal()
+                                  + 1j * rng.standard_normal()) * 0.1
+    fk[:, 0] = 0
+    fk = jnp.asarray(fk * grid.nyquist_mask)
+    f = sp.to_grid(fk, grid)
+    xp = jnp.asarray(rng.uniform(-3, 3, 100))
+    yp = jnp.asarray(rng.uniform(-3, 3, 100))
+    fi = interpolate(f, xp, yp, grid)
+    fs = eval_spectrum_at(fk, xp, yp, grid)
+    # 6-point Lagrangian truncation error ~ (k_max dx)^6 ~ 6e-4 relative
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(fs), atol=5e-5)
+
+
+def test_nufft_matches_grid():
+    grid = SpectralGrid.square(32)
+    X, Y = grid.meshgrid()
+    f = np.cos(2 * X + 3 * Y) + 0.3 * np.sin(5 * Y)
+    fk = sp.to_spectral(jnp.asarray(f), grid)
+    vals = eval_spectrum_at(fk, jnp.asarray(X.ravel()), jnp.asarray(Y.ravel()),
+                            grid)
+    np.testing.assert_allclose(np.asarray(vals), f.ravel(), atol=1e-10)
+    v, vx, vy = eval_spectrum_and_grad_at(
+        fk, jnp.asarray(X.ravel()), jnp.asarray(Y.ravel()), grid)
+    np.testing.assert_allclose(np.asarray(vx),
+                               (-2 * np.sin(2 * X + 3 * Y)).ravel(), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(vy),
+        (-3 * np.sin(2 * X + 3 * Y) + 1.5 * np.cos(5 * Y)).ravel(), atol=1e-9)
+
+
+def test_stack_matches_single():
+    grid = SpectralGrid.square(32)
+    rng = np.random.default_rng(3)
+    F = jnp.asarray(rng.standard_normal((4,) + grid.shape))
+    xp = jnp.asarray(rng.uniform(-3, 3, 50))
+    yp = jnp.asarray(rng.uniform(-3, 3, 50))
+    stacked = interpolate_stack(F, xp, yp, grid)
+    for i in range(4):
+        single = interpolate(F[i], xp, yp, grid)
+        np.testing.assert_allclose(np.asarray(stacked[i]), np.asarray(single),
+                                   atol=1e-14)
+
+
+def test_gradients_wrt_positions_and_field():
+    """Autodiff through the gather: d/dx matches the analytic derivative,
+    and d/dF is a valid linearisation."""
+    grid = SpectralGrid.square(64)
+    X, Y = grid.meshgrid()
+    f = jnp.asarray(np.sin(2 * X) * np.cos(Y))
+
+    def val(x):
+        return interpolate(f, x[None], jnp.asarray([0.3]), grid)[0]
+
+    x0 = 0.731
+    g = jax.grad(val)(jnp.asarray(x0))
+    exact = 2 * np.cos(2 * x0) * np.cos(0.3)
+    np.testing.assert_allclose(float(g), exact, rtol=1e-4)
+
+    def valF(F):
+        return interpolate(F, jnp.asarray([0.5]), jnp.asarray([1.1]), grid)[0]
+
+    gF = jax.grad(valF)(f)
+    # directional derivative check
+    dF = jnp.asarray(np.random.default_rng(4).standard_normal(grid.shape))
+    eps = 1e-6
+    fd = (valF(f + eps * dF) - valF(f - eps * dF)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(gF, dF)), float(fd), rtol=1e-6)

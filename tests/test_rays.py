@@ -1,0 +1,181 @@
+"""Ray integrator tests — formalising the reference's physics checks:
+absolute-frequency conservation (SW_zero_background_raytracing.m:85-132),
+cellular-flow closed orbits (rsw/testparticles.m), zero-background
+straight rays, and gradient correctness vs finite differences (which the
+reference cannot do at all — no autodiff in MATLAB)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swraytracing_tpu.models.dispersion import Dispersion
+from swraytracing_tpu.models import analytic, rays
+from swraytracing_tpu.models.fields import flow_from_psi_grid
+from swraytracing_tpu.ops.grid import SpectralGrid
+
+
+DISP = Dispersion(f=3.0, Cg=1.0)
+
+
+def ring_ics(np_, ki, seed=0, L=2 * np.pi):
+    rng = np.random.default_rng(seed)
+    ang = 2 * np.pi * np.arange(np_) / np_
+    x0 = jnp.asarray(rng.uniform(0, L, (np_, 2)))
+    k0 = jnp.asarray(ki * np.stack([np.cos(ang), np.sin(ang)], -1))
+    return x0, k0
+
+
+def omega_abs(flow, disp, x, k):
+    ev = flow.at(x[:, 0], x[:, 1])
+    return disp.absolute_frequency(k, ev.uv)
+
+
+def test_dispersion_identities():
+    k = jnp.asarray([[3.0, 4.0]])
+    om = DISP.omega(k)
+    np.testing.assert_allclose(np.asarray(om), np.sqrt(9.0 + 25.0))
+    cg = DISP.group_velocity(k)
+    np.testing.assert_allclose(np.asarray(cg)[0],
+                               np.array([3.0, 4.0]) / float(om[0]))
+    # group velocity = d omega / dk (autodiff cross-check)
+    g = jax.grad(lambda kk: DISP.omega(kk[None])[0])(jnp.asarray([3.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(cg)[0], rtol=1e-12)
+
+
+def test_zero_background_straight_rays():
+    """Config 'SW_zero_background_raytracing': U=0 — k constant, x moves
+    at the constant group velocity, omega exactly conserved."""
+    flow = analytic.childress_soward(U0=0.0)
+    x0, k0 = ring_ics(8, 5.0)
+    dt = 0.01
+    step = lambda x, k, t: rays.symplectic_step(x, k, dt, DISP, flow)
+    xs, ks, ts = rays.integrate_rays(x0, k0, dt, 100, step, save_every=100)
+    np.testing.assert_allclose(np.asarray(ks[-1]), np.asarray(k0), atol=1e-12)
+    expect = x0 + 1.0 * DISP.group_velocity(k0)  # T = 100*0.01
+    np.testing.assert_allclose(np.asarray(xs[-1]), np.asarray(expect),
+                               rtol=1e-10)
+
+
+def test_absolute_frequency_conservation_symplectic():
+    """Steady Childress-Soward flow: Omega = omega + U.k is a ray
+    invariant; the reference plots dOmega/Omega0 as its integrator metric."""
+    flow = analytic.childress_soward(U0=0.1, km=1.0, a=0.25)
+    x0, k0 = ring_ics(16, 10.0)
+    dt = 0.005
+    Om0 = omega_abs(flow, DISP, x0, k0)
+    step = lambda x, k, t: rays.symplectic_step(x, k, dt, DISP, flow)
+    xs, ks, _ = rays.integrate_rays(x0, k0, dt, 1000, step, save_every=1000)
+    OmT = omega_abs(flow, DISP, xs[-1], ks[-1])
+    err = np.max(np.abs((np.asarray(OmT) - np.asarray(Om0)) / np.asarray(Om0)))
+    assert err < 2e-3, err
+
+
+def test_absolute_frequency_conservation_rk4():
+    flow = analytic.childress_soward(U0=0.1, km=1.0, a=0.25)
+    x0, k0 = ring_ics(16, 10.0)
+    dt = 0.005
+    Om0 = omega_abs(flow, DISP, x0, k0)
+    step = lambda x, k, t: rays.rk4_step(x, k, dt, DISP, flow)
+    xs, ks, _ = rays.integrate_rays(x0, k0, dt, 1000, step, save_every=1000)
+    OmT = omega_abs(flow, DISP, xs[-1], ks[-1])
+    err = np.max(np.abs((np.asarray(OmT) - np.asarray(Om0)) / np.asarray(Om0)))
+    assert err < 1e-6, err
+
+
+def test_integrators_agree_small_dt():
+    flow = analytic.childress_soward(U0=0.1)
+    x0, k0 = ring_ics(8, 10.0)
+    dt = 1e-3
+    outs = {}
+    for name, fn in [
+        ("sym", lambda x, k, t: rays.symplectic_step(x, k, dt, DISP, flow)),
+        ("yosh", lambda x, k, t: rays.yoshida4_step(x, k, dt, DISP, flow)),
+        ("rk4", lambda x, k, t: rays.rk4_step(x, k, dt, DISP, flow)),
+        ("rk23", lambda x, k, t: rays.rk23_step(x, k, dt, DISP, flow)),
+    ]:
+        xs, ks, _ = rays.integrate_rays(x0, k0, dt, 200, fn, save_every=200)
+        outs[name] = (np.asarray(xs[-1]), np.asarray(ks[-1]))
+    for name in ("yosh", "rk4", "rk23"):
+        np.testing.assert_allclose(outs[name][0], outs["rk4"][0], atol=2e-5)
+        np.testing.assert_allclose(outs[name][1], outs["rk4"][1], atol=2e-4)
+
+
+def test_cellular_flow_closed_orbits():
+    """Fluid particles (k=0 rays have zero group velocity and zero
+    refraction) in psi = cos x cos y follow closed streamlines — the
+    rsw/testparticles.m check. The streamfunction value is conserved."""
+    flow = analytic.cellular(A=1.0)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.uniform(0.5, 2.5, (32, 2)))
+    k0 = jnp.zeros((32, 2))
+    dt = 0.01
+    step = lambda x, k, t: rays.rk4_step(x, k, dt, DISP, flow)
+    xs, ks, _ = rays.integrate_rays(x0, k0, dt, 500, step, save_every=500)
+    psi0 = flow.streamfunction(x0[:, 0], x0[:, 1])
+    psiT = flow.streamfunction(xs[-1][:, 0], xs[-1][:, 1])
+    np.testing.assert_allclose(np.asarray(psiT), np.asarray(psi0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ks[-1]), 0.0, atol=1e-14)
+
+
+def test_gridded_flow_matches_analytic():
+    """GriddedFlow built from the CS streamfunction sampled on a grid must
+    agree with the AnalyticFlow rays (SpectralScheme vs DifferenceScheme
+    equivalence, cf. why_isnt_interpolate2_working.m comparisons)."""
+    grid = SpectralGrid.square(128)
+    X, Y = grid.meshgrid()
+    U0, a = 0.1, 0.25
+    psi = U0 * (np.sin(X) * np.sin(Y) + a * np.cos(X) * np.cos(Y))
+    gflow = flow_from_psi_grid(jnp.asarray(psi), grid)
+    aflow = analytic.childress_soward(U0=U0, km=1.0, a=a)
+    x0, k0 = ring_ics(8, 10.0)
+    dt = 0.01
+    res = {}
+    for name, fl in [("grid", gflow), ("ana", aflow)]:
+        step = lambda x, k, t: rays.rk4_step(x, k, dt, DISP, fl)
+        xs, ks, _ = rays.integrate_rays(x0, k0, dt, 100, step, save_every=100)
+        res[name] = (np.asarray(xs[-1]), np.asarray(ks[-1]))
+    np.testing.assert_allclose(res["grid"][0], res["ana"][0], atol=1e-5)
+    np.testing.assert_allclose(res["grid"][1], res["ana"][1], atol=1e-4)
+
+
+def test_action_conserved_in_uniform_flow():
+    """step_packet_xka: with U spatially constant (grad U = 0, divC ~
+    -|C|^2/omega nonzero only through U terms)... in a zero flow, action
+    is exactly conserved and k unchanged."""
+    grid = SpectralGrid.square(32)
+    zero = flow_from_psi_grid(jnp.zeros(grid.shape), grid)
+    x0, k0 = ring_ics(8, 5.0)
+    a0 = jnp.ones(8)
+    x, k, a = x0, k0, a0
+    for _ in range(20):
+        x, k, a = rays.rk4_xka_step(x, k, a, 0.01, DISP, zero)
+    # With U=0, cg_sw.m:29 gives spatially-constant divC = -|C|^2/omega,
+    # so da/dt = -a*divC integrates exactly to a(T) = exp(-divC*T);
+    # k is unchanged.
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k0), atol=1e-10)
+    C = DISP.group_velocity(k0)
+    om = DISP.omega(k0)
+    divC = -(C[:, 0] ** 2 + C[:, 1] ** 2) / om
+    expect = np.exp(-np.asarray(divC) * 0.2)
+    np.testing.assert_allclose(np.asarray(a), expect, rtol=1e-6)
+
+
+def test_gradients_vs_finite_differences():
+    """Exact gradients through the symplectic loop w.r.t. flow parameter
+    and packet ICs — the BASELINE.json gradient requirement."""
+    x0, k0 = ring_ics(4, 8.0)
+    dt = 0.01
+
+    def loss(U0, k0_):
+        fl = analytic.childress_soward(U0=U0)
+        step = lambda x, k, t: rays.symplectic_step(x, k, dt, DISP, fl)
+        xs, ks, _ = rays.integrate_rays(x0, k0_, dt, 50, step, save_every=50)
+        return jnp.mean(ks[-1] ** 2) + jnp.mean(xs[-1] ** 2)
+
+    gU, gk = jax.grad(loss, argnums=(0, 1))(jnp.asarray(0.1), k0)
+    eps = 1e-6
+    fdU = (loss(0.1 + eps, k0) - loss(0.1 - eps, k0)) / (2 * eps)
+    np.testing.assert_allclose(float(gU), float(fdU), rtol=1e-5)
+    dk = jnp.asarray(np.random.default_rng(2).standard_normal(k0.shape))
+    fdk = (loss(0.1, k0 + eps * dk) - loss(0.1, k0 - eps * dk)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(gk, dk)), float(fdk), rtol=1e-5)
