@@ -1,0 +1,62 @@
+"""Headline benchmark: coupled QG flow + wave-packet raytracing throughput.
+
+Metric: packet-steps/sec/chip — one packet advanced through one coupled
+flow step counts as one packet-step. The MATLAB reference sustains
+~40-45 flow steps/s with 50 packets at 256^2 on a 6-CPU node
+(BASELINE.md), i.e. ~2.1e3 packet-steps/s. The BASELINE.json north star
+is 1e6 packets on a 512^2 flow at >= 10x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+NX = int(os.environ.get("BENCH_NX", "512"))
+NP = int(os.environ.get("BENCH_NP", str(1_000_000)))
+N_SAVES = int(os.environ.get("BENCH_SAVES", "10"))
+BASELINE_PACKET_STEPS_PER_SEC = 2.1e3  # MATLAB reference, BASELINE.md
+
+
+def main():
+    import functools
+
+    import jax
+
+    # NOTE: do not enable the persistent compilation cache here — executable
+    # deserialization is unimplemented on the axon TPU backend and poisons
+    # every jit with a deferred UNIMPLEMENTED error.
+
+    from swraytracing_tpu.models.coupled import (
+        CoupledConfig, setup_coupled, run_coupled_chunk)
+
+    cfg = CoupledConfig(nx=NX, n_packets=NP, T_Fr_days=6000.0,
+                        packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
+    s, carry = setup_coupled(cfg)
+
+    run = jax.jit(functools.partial(
+        run_coupled_chunk, s=s, cfg=cfg, n_saves=N_SAVES))
+
+    # Warm-up: compile + one full chunk (also spreads packets off the ICs).
+    carry, hist = run(carry)
+    jax.block_until_ready(carry)
+
+    t0 = time.perf_counter()
+    carry, hist = run(carry)
+    jax.block_until_ready(carry)
+    elapsed = time.perf_counter() - t0
+
+    flow_steps = N_SAVES * cfg.packet_steps_per_save
+    packet_steps_per_sec = flow_steps * cfg.n_packets / elapsed
+    print(json.dumps({
+        "metric": f"packet-steps/sec/chip ({NP:.0e} packets, {NX}^2 QG)",
+        "value": round(packet_steps_per_sec, 1),
+        "unit": "packet-steps/s",
+        "vs_baseline": round(
+            packet_steps_per_sec / BASELINE_PACKET_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,7 +111,8 @@ def setup_coupled(cfg: CoupledConfig):
     qk0 = initial_q_ring(cfg.seed, grid, cfg.U_g, Kd2, ring=cfg.ring_ic)
     forcing = inertial_ring_forcing(cfg.forcing_strength, grid, cfg.f, cfg.Cg)
 
-    U0 = float(max_speed(qk0, grid, Kd2))
+    # jit: the axon TPU backend cannot dispatch FFTs eagerly
+    U0 = float(jax.jit(max_speed, static_argnums=(1, 2))(qk0, grid, Kd2))
     Fr = U0 / cfg.Cg
     T_days = cfg.T_Fr_days / cfg.f
     T = T_days / Fr**2
@@ -126,7 +127,8 @@ def setup_coupled(cfg: CoupledConfig):
                   dealias=cfg.dealias, reference_quirks=cfg.reference_quirks)
 
     px0, pk0 = ring_packet_ics(cfg, grid)
-    fields0 = flow_from_qk(qk0, grid, Kd2).fields
+    fields0 = jax.jit(
+        lambda q: flow_from_qk(q, grid, Kd2).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg_init(qk0), packet_x=px0,
                           packet_k=pk0, prev_fields=fields0)
     setup = CoupledSetup(grid=grid, disp=disp, qg_params=qp, dt=dt,

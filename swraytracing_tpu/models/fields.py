@@ -186,7 +186,7 @@ def _stack_from_psik(psik, grid: SpectralGrid, shear: float = 0.0):
         sp.ddx(uk, grid), sp.ddy(uk, grid),
         sp.ddx(vk, grid), sp.ddy(vk, grid),
     ])
-    fields = jnp.fft.irfft2(comps, s=(grid.nx, grid.ny)) * (grid.nx * grid.ny)
+    fields = sp.to_grid(comps, grid)  # batched over the 6 components
     if shear:
         fields = fields.at[U].add(shear)
     return fields

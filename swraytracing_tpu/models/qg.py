@@ -196,9 +196,12 @@ def initial_q_ring(key, grid: SpectralGrid, U_g: float, Kd2: float,
     qk *= grid.nyquist_mask
 
     # Normalise to max speed U_g using the induced geostrophic velocities.
-    qk_j = jnp.asarray(qk)
-    u0 = max_speed(qk_j, grid, Kd2)
-    return qk_j * (U_g / u0)
+    # One jitted call (the axon TPU backend cannot dispatch ops eagerly),
+    # with the dtype cast done host-side (device-side complex128->complex64
+    # conversion is likewise unimplemented there).
+    qk = qk.astype(jax.dtypes.canonicalize_dtype(np.complex128))
+    return jax.jit(
+        lambda q: q * (U_g / max_speed(q, grid, Kd2)))(jnp.asarray(qk))
 
 
 def max_speed(qk, grid: SpectralGrid, Kd2, shear: float = 0.0):

@@ -130,6 +130,37 @@ class SpectralGrid:
         m[:, self.nky - 1] = 0.0 if self.ny % 2 == 0 else 1.0
         return m
 
+    # -- DFT matrices (matmul transform backend; see ops.spectral) ---------
+
+    @cached_property
+    def dft_x(self) -> np.ndarray:
+        """Forward DFT matrix along x: F[m, kx] = exp(-2*pi*i*m*kx/nx),
+        shape (nx, nx), symmetric. The TPU transform backend computes
+        rfft2 as dense matmuls on the MXU instead of an FFT custom call —
+        at the production sizes (<= 1024^2) the O(n^3) matmul is
+        microseconds on the systolic array and compiles/fuses like any
+        other dot, whereas the XLA TPU FFT path is a custom call."""
+        m = np.arange(self.nx)
+        return np.exp((-2j * np.pi / self.nx) * np.outer(m, m))
+
+    @cached_property
+    def dft_y(self) -> np.ndarray:
+        """Forward DFT matrix along y restricted to the rfft half-plane:
+        F[n, ky] = exp(-2*pi*i*n*ky/ny), shape (ny, nky)."""
+        n = np.arange(self.ny)
+        ky = np.arange(self.nky)
+        return np.exp((-2j * np.pi / self.ny) * np.outer(n, ky))
+
+    @cached_property
+    def halfplane_weights(self) -> np.ndarray:
+        """Conjugate-half-plane weights for inverse transforms: 2 for
+        interior ky columns, 1 for ky=0 and the (masked) Nyquist column."""
+        w = np.full((self.nky,), 2.0)
+        w[0] = 1.0
+        if self.ny % 2 == 0:
+            w[-1] = 1.0
+        return w
+
     def dealias_mask(self, circular: bool = True) -> np.ndarray:
         """Orszag 2/3-rule mask.
 

@@ -18,6 +18,7 @@ de-aliasing of quadratic products).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .grid import SpectralGrid
@@ -42,19 +43,73 @@ __all__ = [
 
 # ---------------------------------------------------------------------------
 # Basic transforms (g2k / k2g equivalents)
+#
+# Two backends, chosen per-call at trace time:
+#   * "fft": jnp.fft.rfft2/irfft2 — default on CPU/GPU.
+#   * "matmul": dense DFT matmuls on the grid's precomputed DFT matrices —
+#     default on TPU, where the transform then runs entirely on the MXU
+#     (O(n^3) is ~microseconds at n <= 1024 on a systolic array) and the
+#     XLA FFT custom call — with its multi-minute plan-initialisation
+#     compile cost on some TPU runtimes — is avoided altogether. Batched
+#     leading dims are supported by both.
 # ---------------------------------------------------------------------------
 
-def to_spectral(f, grid: SpectralGrid):
+def use_matmul_dft() -> bool:
+    """Whether the matmul-DFT backend is the default for this process."""
+    return jax.default_backend() == "tpu"
+
+
+def _cdtype(real_or_complex_dtype):
+    return (jnp.complex128
+            if jnp.dtype(real_or_complex_dtype).itemsize * (
+                1 if jnp.issubdtype(real_or_complex_dtype, jnp.complexfloating)
+                else 2) == 16
+            else jnp.complex64)
+
+
+def _dft2(f, grid: SpectralGrid):
+    """rfft2 via matmuls: fk[kx,ky] = sum_{m,n} f[m,n] Fx[m,kx] Fy[n,ky]."""
+    cd = _cdtype(f.dtype)
+    Fxr = jnp.asarray(grid.dft_x.real, dtype=f.dtype)
+    Fxi = jnp.asarray(grid.dft_x.imag, dtype=f.dtype)
+    Fy = jnp.asarray(grid.dft_y, dtype=cd)
+    a = (jnp.einsum("mk,...mn->...kn", Fxr, f)
+         + 1j * jnp.einsum("mk,...mn->...kn", Fxi, f)).astype(cd)
+    return jnp.einsum("...kn,nl->...kl", a, Fy)
+
+
+def _idft2(fk, grid: SpectralGrid):
+    """irfft2*N^2 via matmuls: f[m,n] = Re sum_{kx,ky} w[ky] fk[kx,ky]
+    conj(Fx)[kx,m] conj(Fy)[n,ky]."""
+    cd = _cdtype(fk.dtype)
+    Gx = jnp.asarray(np.conj(grid.dft_x), dtype=cd)
+    Gy = jnp.asarray(np.conj(grid.dft_y).T, dtype=cd)  # (nky, ny)
+    fkw = fk * jnp.asarray(grid.halfplane_weights, dtype=fk.dtype)
+    c = jnp.einsum("mk,...kl->...ml", Gx, fkw)
+    return jnp.einsum("...ml,ln->...mn", c, Gy).real
+
+
+def to_spectral(f, grid: SpectralGrid, backend: str | None = None):
     """Grid -> half-plane spectrum; reference g2k
     (qg_flow_ray_trace/g2k.m:1-10), with Nyquist modes zeroed to match the
     reference's truncated mode set."""
-    fk = jnp.fft.rfft2(f) / (grid.nx * grid.ny)
+    if backend is None:
+        backend = "matmul" if use_matmul_dft() else "fft"
+    if backend == "matmul":
+        fk = _dft2(f, grid) / (grid.nx * grid.ny)
+    else:
+        fk = jnp.fft.rfft2(f) / (grid.nx * grid.ny)
     return fk * jnp.asarray(grid.nyquist_mask, dtype=fk.dtype)
 
 
-def to_grid(fk, grid: SpectralGrid):
+def to_grid(fk, grid: SpectralGrid, backend: str | None = None):
     """Half-plane spectrum -> grid; reference k2g
-    (qg_flow_ray_trace/k2g.m:1-9)."""
+    (qg_flow_ray_trace/k2g.m:1-9). Assumes the ky=0 column is Hermitian
+    (true for spectra of real fields; use enforce_hermitian otherwise)."""
+    if backend is None:
+        backend = "matmul" if use_matmul_dft() else "fft"
+    if backend == "matmul":
+        return _idft2(fk, grid)
     return jnp.fft.irfft2(fk, s=(grid.nx, grid.ny)) * (grid.nx * grid.ny)
 
 
@@ -164,6 +219,12 @@ def _unpad_spectrum(fk_big, grid: SpectralGrid, mx: int):
     return jnp.concatenate([top, mid, bot], axis=0)
 
 
+def padded_grid(grid: SpectralGrid) -> SpectralGrid:
+    """The 3/2-padded companion grid used for dealiased products."""
+    return SpectralGrid(nx=3 * grid.nx // 2, ny=3 * grid.ny // 2,
+                        Lx=grid.Lx, Ly=grid.Ly)
+
+
 def padded_product(fk, gk, grid: SpectralGrid):
     """Exactly dealiased spectral product: returns spectrum of f*g.
 
@@ -172,13 +233,13 @@ def padded_product(fk, gk, grid: SpectralGrid):
     zero-padded to 3/2 resolution, multiplied on the fine grid, and
     truncated back. Quadratic aliasing cancels identically.
     """
-    mx = 3 * grid.nx // 2
-    my = 3 * grid.ny // 2
-    myh = my // 2 + 1
-    scale = mx * my
-    fbig = jnp.fft.irfft2(_pad_spectrum(fk, grid, mx, myh), s=(mx, my)) * scale
-    gbig = jnp.fft.irfft2(_pad_spectrum(gk, grid, mx, myh), s=(mx, my)) * scale
-    pk = jnp.fft.rfft2(fbig * gbig) / scale
+    big = padded_grid(grid)
+    mx, myh = big.nx, big.nky
+    # to_grid/to_spectral on the padded grid pick the per-backend
+    # transform; their 1/N^2 normalisations cancel through the product.
+    fbig = to_grid(_pad_spectrum(fk, grid, mx, myh), big)
+    gbig = to_grid(_pad_spectrum(gk, grid, mx, myh), big)
+    pk = to_spectral(fbig * gbig, big)
     return _unpad_spectrum(pk, grid, mx) * jnp.asarray(
         grid.nyquist_mask, dtype=fk.dtype)
 
