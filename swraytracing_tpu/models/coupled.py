@@ -148,22 +148,29 @@ def _substep_fn(name: str):
     raise ValueError(f"unknown stepper {name!r}")
 
 
-def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
-                             cfg: CoupledConfig) -> CoupledCarry:
-    """One lock-step iteration (qgsw_raytrace.m:121-151): AB3 flow step,
-    rebuild velocity grids, sub-cycle packets against the time-blended
-    snapshots. Packets are frozen (dt=0) until t > packet_delay, matching
-    the reference's gating at :140."""
-    grid, disp, qp = s.grid, s.disp, s.qg_params
-    new_state = qg_step(carry.flow_state, grid, qp)
-    fields2 = flow_from_qk(new_state.qk, grid, qp.Kd2).fields
+def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
+                  dt, packet_delay, n_substeps: int, stepper: str
+                  ) -> CoupledCarry:
+    """Generic lock-step iteration (qgsw_raytrace.m:121-151 and
+    qg2layersw_raytrace.m:152-197): advance the flow one step, rebuild
+    velocity grids, sub-cycle packets against the time-blended snapshots.
+    Packets are frozen (dt=0) until t > packet_delay, matching the
+    reference's gating.
+
+    Args:
+      flow_step_fn: flow_state -> flow_state (one solver step; must
+        advance .t).
+      fields_fn: flow_state -> (6, nx, ny) stacked velocity/gradients.
+    """
+    new_state = flow_step_fn(carry.flow_state)
+    fields2 = fields_fn(new_state)
     flow = BlendedFlow(fields1=carry.prev_fields, fields2=fields2, grid=grid)
 
-    active = new_state.t > s.packet_delay
-    m = cfg.n_substeps
-    sub_dt = jnp.where(active, s.dt / m, 0.0)
+    active = new_state.t > packet_delay
+    m = n_substeps
+    sub_dt = jnp.where(active, dt / m, 0.0)
 
-    step = _substep_fn(cfg.stepper)
+    step = _substep_fn(stepper)
 
     def body(i, xk):
         x, k = xk
@@ -176,6 +183,18 @@ def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
     px, pk = lax.fori_loop(0, m, body, (carry.packet_x, carry.packet_k))
     return CoupledCarry(flow_state=new_state, packet_x=px, packet_k=pk,
                         prev_fields=fields2)
+
+
+def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
+                             cfg: CoupledConfig) -> CoupledCarry:
+    """One-layer QG lock-step iteration (qgsw_raytrace.m:121-151)."""
+    grid, qp = s.grid, s.qg_params
+    return lockstep_step(
+        carry,
+        flow_step_fn=lambda st: qg_step(st, grid, qp),
+        fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2).fields,
+        grid=grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
+        n_substeps=cfg.n_substeps, stepper=cfg.stepper)
 
 
 def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,

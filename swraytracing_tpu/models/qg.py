@@ -182,6 +182,8 @@ def initial_q_ring(key, grid: SpectralGrid, U_g: float, Kd2: float,
             K2i = k * k + l * l
             if ring and not (k_min**2 < K2i <= k_max**2):
                 continue
+            if abs(k) > grid.kmax or abs(l) > grid.kmax:
+                continue  # mode not representable on this grid
             phi = phases[k + k_max, l + k_max]
             amp = -(Kd2 + K2i * scale_k**2)
             # cos(kx+ly+phi) -> 0.5 e^{i phi} at (k,l) + conj at (-k,-l)
