@@ -1,0 +1,146 @@
+"""RSW solver tests against exact linear solutions (rsw/lsw.m ground
+truth, formalising rsw/standingwave.m, planewave.m, swexamples.m checks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swraytracing_tpu.ops.grid import SpectralGrid
+from swraytracing_tpu.models import rsw
+from swraytracing_tpu.models.exact_linear import (linear_sw_solution,
+                                                 plane_wave_ic,
+                                                 geostrophic_ic)
+
+F, CG = 3.0, 1.0
+
+
+def test_linear_solution_reproduces_ic():
+    """t=0 must return the IC exactly — regression for the reference's
+    getSk.m double-normalisation defect (which breaks this)."""
+    grid = SpectralGrid.square(32)
+    rng = np.random.default_rng(0)
+    u0, v0, h0 = (rng.standard_normal(grid.shape) for _ in range(3))
+    u, v, h = linear_sw_solution(u0, v0, h0, F, CG, [0.0], grid)
+    np.testing.assert_allclose(u[0], u0, atol=1e-10)
+    np.testing.assert_allclose(v[0], v0, atol=1e-10)
+    np.testing.assert_allclose(h[0], h0, atol=1e-10)
+
+
+def test_plane_wave_is_linear_eigenmode():
+    """A plane_wave_ic evolved by the exact linear solution is a pure
+    phase translation at speed omega/K."""
+    grid = SpectralGrid.square(64)
+    k_i, l_i = 3, 0
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, k_i, l_i, eta0=0.01)
+    w = np.sqrt(F**2 + CG**2 * k_i**2)
+    T = 0.7
+    u, v, h = linear_sw_solution(u0, v0, h0, F, CG, [T], grid)
+    # translated IC: theta = k x - w t -> shift x by w t / k
+    u0s, v0s, h0s = plane_wave_ic(grid, F, CG, k_i, l_i, eta0=0.01,
+                                  phase=-w * T)
+    np.testing.assert_allclose(h[0], h0s, atol=1e-12)
+    np.testing.assert_allclose(u[0], u0s, atol=1e-12)
+    np.testing.assert_allclose(v[0], v0s, atol=1e-12)
+
+
+def test_nonlinear_swk_matches_linear_at_small_amplitude():
+    """swk at eta0=1e-4 must track the exact linear solution to O(eta^2)
+    + time-discretisation error."""
+    grid = SpectralGrid.square(64)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, 3, 2, eta0=1e-4)
+    st = rsw.rsw_init(u0, v0, h0, grid, p)
+    nsteps = 200
+    st, S, ts, ke, pe = jax.jit(
+        lambda s: rsw.simulate_rsw(s, grid, p, nsteps, nsteps))(st)
+    T = float(st.t)
+    ul, vl, hl = linear_sw_solution(u0, v0, h0, F, CG, [T], grid)
+    scale = 1e-4
+    assert np.max(np.abs(np.asarray(S[-1][2]) - hl[0])) / scale < 5e-3
+    assert np.max(np.abs(np.asarray(S[-1][0]) - ul[0])) / scale < 2e-2
+
+
+def test_linearized_swku_zero_background_matches_linear():
+    """swkU with U=V=0 IS the linear SW system; the AB3 solution must
+    match lsw to time-stepping accuracy even at O(1) amplitude."""
+    grid = SpectralGrid.square(64)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, 2, 1, eta0=0.3)
+    st = rsw.rsw_init(u0, v0, h0, grid, p)
+    zero = jnp.zeros(grid.shape)
+    nsteps = 150
+    st, S, ts, ke, pe = jax.jit(lambda s: rsw.simulate_rsw(
+        s, grid, p, nsteps, nsteps,
+        background_fn=lambda t: (zero, zero)))(st)
+    T = float(st.t)
+    ul, vl, hl = linear_sw_solution(u0, v0, h0, F, CG, [T], grid)
+    np.testing.assert_allclose(np.asarray(S[-1][2]), hl[0], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(S[-1][0]), ul[0], atol=2e-3)
+
+
+def test_energy_conservation_nonlinear():
+    """Total energy drift of an inviscid-scale geostrophic+wave state
+    stays small over a few hundred steps (swk.m ke/pe diagnostics)."""
+    grid = SpectralGrid.square(64)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    X, Y = grid.meshgrid()
+    psi = 0.05 * (np.sin(X) * np.sin(Y) + 0.3 * np.cos(2 * X))
+    ug, vg, hg = geostrophic_ic(grid, F, CG, psi)
+    uw, vw, hw = plane_wave_ic(grid, F, CG, 4, 1, eta0=0.02)
+    st = rsw.rsw_init(np.asarray(ug) + uw, np.asarray(vg) + vw,
+                      np.asarray(hg) + hw, grid, p)
+    st, S, ts, ke, pe = jax.jit(
+        lambda s: rsw.simulate_rsw(s, grid, p, 300, 50))(st)
+    E = np.asarray(ke) + np.asarray(pe)
+    assert not bool(st.blown)
+    assert np.abs(E[-1] - E[0]) / E[0] < 5e-3, E
+
+
+def test_wave_vortex_decomposition():
+    grid = SpectralGrid.square(64)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    X, Y = grid.meshgrid()
+    ug, vg, hg = geostrophic_ic(grid, F, CG, 0.1 * np.sin(X) * np.sin(2 * Y))
+    (g_, _, _), (uw, vw, hw) = rsw.wave_vortex_decompose(
+        jnp.asarray(ug), jnp.asarray(vg), jnp.asarray(hg), grid, p)
+    # geostrophic input -> wave residual ~ 0
+    assert float(jnp.abs(uw).max()) < 1e-10
+    assert float(jnp.abs(hw).max()) < 1e-10
+    # plane gravity wave -> vortex part ~ 0
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, 3, 1, eta0=0.01)
+    (ug2, vg2, hg2), _ = rsw.wave_vortex_decompose(
+        jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(h0), grid, p)
+    assert float(jnp.abs(ug2).max()) < 1e-12 * 1e3  # tiny vs eta0=1e-2
+    assert float(jnp.abs(hg2).max()) < 1e-12 * 1e3
+
+
+def test_killpv_and_pvdamp_run():
+    grid = SpectralGrid.square(32)
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, 2, 2, eta0=0.05)
+    for p in (rsw.RSWParams(f=F, Cg=CG, killpv=True),
+              rsw.RSWParams(f=F, Cg=CG, pv_damp_rate=0.1)):
+        st = rsw.rsw_init(u0, v0, h0, grid, p)
+        zero = jnp.zeros(grid.shape)
+        st, S, ts, ke, pe = rsw.simulate_rsw(
+            st, grid, p, 20, 20, background_fn=lambda t: (zero, zero))
+        assert bool(jnp.isfinite(S).all())
+
+
+def test_particle_advection_cellular():
+    """Particles in psi = cos x cos y stay on streamlines
+    (rsw/testparticles.m; advect_particles is the function the reference
+    calls but never defines)."""
+    grid = SpectralGrid.square(64)
+    X, Y = grid.meshgrid()
+    psi = np.cos(X) * np.cos(Y)
+    u = np.sin(Y) * np.cos(X)   # -psi_y
+    v = -np.sin(X) * np.cos(Y)  # psi_x
+    xp = jnp.asarray(np.random.default_rng(1).uniform(0.5, 2.5, (16, 2)))
+    uj, vj = jnp.asarray(u), jnp.asarray(v)
+    step = jax.jit(lambda x: rsw.advect_particles(x, uj, vj, grid, 0.02))
+    x = xp
+    for _ in range(200):
+        x = step(x)
+    psi0 = np.cos(np.asarray(xp[:, 0])) * np.cos(np.asarray(xp[:, 1]))
+    psiT = np.cos(np.asarray(x[:, 0])) * np.cos(np.asarray(x[:, 1]))
+    np.testing.assert_allclose(psiT, psi0, atol=1e-5)
