@@ -1,0 +1,108 @@
+"""Wave-frequency statistics: e(omega) spectra, histograms, theory pdf.
+
+Re-implements the reference's post-hoc analysis:
+  * e(omega) = binCenter * histcount over time windows of +-offset
+    frames (/root/reference/analysis/load_data.m:33-52) — the diagnostic
+    behind the omega^-2 slope result;
+  * mean omega(t) time series (load_data.m:63);
+  * the theoretical pdf of the absolute frequency omega_0 + U.k over
+    ring angles (/root/reference/ideal_omega_distribution.m:1-24)
+    against which the experimental histogram is checked.
+
+All functions are plain numpy over saved packet arrays (host-side
+analysis; the on-device path only produces the k history).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "omega_of_k",
+    "energy_vs_omega",
+    "omega_windows",
+    "mean_omega_timeseries",
+    "ideal_omega_samples",
+    "load_packets",
+]
+
+
+def omega_of_k(k, f: float, Cg: float):
+    """Intrinsic frequency per packet: k (..., Np, 2) -> (..., Np)."""
+    k = np.asarray(k)
+    return np.sqrt(f**2 + Cg**2 * np.sum(k * k, axis=-1))
+
+
+def energy_vs_omega(omega_samples, bins: int = 300, omega_max=None):
+    """e(omega) spectrum of a sample set (load_data.m:37-52):
+    histogram of omega into `bins` edges on [0, max], energy
+    = binCenter * count. Returns (centers, energy)."""
+    w = np.ravel(np.asarray(omega_samples))
+    if omega_max is None:
+        omega_max = w.max()
+    edges = np.linspace(0.0, omega_max, bins)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    counts, _ = np.histogram(w, edges)
+    return centers, centers * counts
+
+
+def omega_windows(omega, times_idx, offset: int = 500):
+    """Collect omega samples in frame windows [i-offset, i+offset] around
+    each index (load_data.m:43-45). omega: (nframes, Np). Returns a list
+    of 1-D sample arrays."""
+    omega = np.asarray(omega)
+    out = []
+    n = omega.shape[0]
+    for i in times_idx:
+        lo = max(0, i - offset)
+        hi = min(n, i + offset + 1)
+        out.append(np.sort(omega[lo:hi].ravel()))
+    return out
+
+
+def mean_omega_timeseries(omega, f: float = 1.0):
+    """mean_k omega / f per frame (load_data.m:63)."""
+    return np.mean(np.asarray(omega), axis=-1) / f
+
+
+def ideal_omega_samples(U, k0: float, f: float, Cg: float,
+                        n_angles: int = 100):
+    """Samples of the theoretical absolute frequency omega_0 + U.k over
+    a ring of wavevectors |k| = k0 and flow samples U (Np, 2)
+    (ideal_omega_distribution.m:3-10). Histogram these against the
+    experimental omega distribution."""
+    t = np.linspace(0.0, 2 * np.pi, n_angles)
+    kv = k0 * np.stack([np.cos(t), np.sin(t)], axis=-1)     # (na, 2)
+    U = np.asarray(U)
+    Udotk = U @ kv.T                                        # (Np, na)
+    omega0 = np.sqrt(f**2 + Cg**2 * k0**2)
+    return (omega0 + Udotk).ravel()
+
+
+def load_packets(run_dir, n_packets: int | None = None):
+    """Load (x, k, t, params) from a run directory written by our
+    drivers (or a reference run gathered by analysis/gather_data.bash) —
+    the load_data.m entry path: packet_time is a 0-d series; packet_x /
+    packet_k are (Np, 2) frames."""
+    import os
+
+    from ..io import binio, runmeta
+
+    params = {}
+    pj = os.path.join(str(run_dir), "params.json")
+    rl = os.path.join(str(run_dir), "run.log")
+    if os.path.exists(pj):
+        params = runmeta.RunDir(run_dir).read_params()
+    elif os.path.exists(rl):
+        params = runmeta.parse_run_log(rl)
+    if n_packets is None:
+        n_packets = int(params["n_packets"])
+
+    t = binio.read_field(os.path.join(str(run_dir), "packet_time"))
+    nf = len(t)
+    x = binio.read_field(os.path.join(str(run_dir), "packet_x"),
+                         n_packets, 2, 1, list(range(1, nf + 1)))
+    k = binio.read_field(os.path.join(str(run_dir), "packet_k"),
+                         n_packets, 2, 1, list(range(1, nf + 1)))
+    # (Np, 2, nframes) -> (nframes, Np, 2)
+    return np.moveaxis(x, -1, 0), np.moveaxis(k, -1, 0), t, params

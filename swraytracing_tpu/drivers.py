@@ -1,0 +1,193 @@
+"""Production run drivers: the reference's SLURM entry points, complete
+with frame I/O, logging, metrics, and checkpoint/resume.
+
+`qgsw_raytrace(...)` and `qg2layersw_raytrace(...)` keep the reference's
+positional signatures (/root/reference/qg_flow_ray_trace/
+qgsw_raytrace.m:1, qg2layersw_raytrace.m:1) and output-file layout
+(data/pv, data/pv_time, data/packet_x, data/packet_k, data/packet_time
+as frame-addressed .bin — :34-38) so reference analysis tooling works on
+our runs unchanged, while the compute is chunked `lax.scan`s on
+TPU/CPU. Each PV-save interval is one jitted chunk; packet frames are
+written from the chunk's stacked history.
+
+`run_sweep` replaces the SLURM job array (runqgsw_raytrace.sbatch:10 +
+parameters.txt): a parameter table is executed as successive (or
+vmapped-ensemble) runs in one process, each with its own run directory.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+
+from .io import binio
+from .io.runmeta import RunDir
+from .io.checkpoint import save_state, restore_state, latest_checkpoint
+from .ops import spectral as sp
+
+__all__ = ["qgsw_raytrace", "qg2layersw_raytrace", "run_sweep",
+           "DEFAULT_SWEEP"]
+
+
+def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
+                 max_steps, checkpoint_every, resume, log, Kd2):
+    """Shared chunked execution + I/O loop for both coupled drivers."""
+    s = setup
+    rd = RunDir(out_dir)
+    grid = s.grid
+    saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
+    steps_per_chunk = saves_per_pv * cfg.packet_steps_per_save
+    n_steps = s.n_steps if max_steps is None else min(s.n_steps, max_steps)
+    n_chunks = max(1, int(np.ceil(n_steps / steps_per_chunk)))
+
+    rd.write_params(
+        nx=cfg.nx, n_packets=cfg.n_packets,
+        near_inertial_factor=cfg.near_inertial_factor, f=cfg.f, Cg=cfg.Cg,
+        U_g=cfg.U_g, U0=s.U0, Fr=s.Fr, dt=s.dt, T=s.T, n_steps=n_steps,
+        steps_per_save=cfg.steps_per_save,
+        packet_steps_per_save=cfg.packet_steps_per_save,
+        stepper=cfg.stepper, n_substeps=cfg.n_substeps, L=cfg.L)
+    rd.write_run_log(
+        nx=cfg.nx, n_packets=cfg.n_packets,
+        k_radius=cfg.near_inertial_factor * cfg.f, dt=s.dt, T=s.T,
+        spin_up=s.packet_delay * cfg.f, steps_per_save=cfg.steps_per_save,
+        packet_steps_per_save=cfg.packet_steps_per_save, f=cfg.f,
+        Cg=cfg.Cg, U_g=cfg.U_g, U0=s.U0, Fr=s.Fr, Kd2=Kd2)
+
+    carry = carry0
+    chunk0 = 0
+    ck = latest_checkpoint(rd.path) if resume else None
+    if ck is not None:
+        carry = restore_state(ck, carry0)
+        chunk0 = int(ck.split("_")[-1].split(".")[0])
+        log(f"resumed from {ck} at chunk {chunk0}")
+
+    pv_frame = chunk0 + 1
+    packet_frame = chunk0 * saves_per_pv + 1
+
+    if chunk0 == 0:
+        # initial frames (reference writes frame 1 before the loop)
+        binio.write_field(grid.wrap_centered(np.asarray(carry.packet_x)),
+                          rd.file("packet_x"), 1)
+        binio.write_field(np.asarray(carry.packet_k), rd.file("packet_k"), 1)
+        binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
+        q0 = np.asarray(jax.jit(fields_of_state)(carry.flow_state))
+        binio.write_field(np.moveaxis(q0, 0, -1) if q0.ndim == 3 else q0,
+                          rd.file("pv"), 1)
+        binio.write_field(np.asarray(0.0), rd.file("pv_time"), 1)
+
+    t_start = time.time()
+    for chunk in range(chunk0, n_chunks):
+        tc = time.time()
+        carry, (px, pk, ts) = run(carry)
+        jax.block_until_ready(carry)
+        elapsed = time.time() - tc
+
+        px_np = np.asarray(px)
+        pk_np = np.asarray(pk)
+        ts_np = np.asarray(ts)
+        for j in range(px_np.shape[0]):
+            packet_frame += 1
+            binio.write_field(grid.wrap_centered(px_np[j]),
+                              rd.file("packet_x"), packet_frame)
+            binio.write_field(pk_np[j], rd.file("packet_k"), packet_frame)
+            binio.write_field(ts_np[j], rd.file("packet_time"),
+                              packet_frame)
+        pv_frame += 1
+        q = np.asarray(jax.jit(fields_of_state)(carry.flow_state))
+        binio.write_field(np.moveaxis(q, 0, -1) if q.ndim == 3 else q,
+                          rd.file("pv"), pv_frame)
+        binio.write_field(float(ts_np[-1]), rd.file("pv_time"), pv_frame)
+
+        rd.log_metrics(chunk=chunk, t=float(ts_np[-1]),
+                       steps=steps_per_chunk, wall_s=elapsed,
+                       steps_per_sec=steps_per_chunk / elapsed,
+                       packet_steps_per_sec=(steps_per_chunk
+                                             * cfg.n_packets / elapsed))
+        if checkpoint_every and (chunk + 1) % checkpoint_every == 0:
+            save_state(rd.path / "ckpt", carry, step=chunk + 1)
+        if chunk % 10 == 0:
+            pct = 100.0 * (chunk + 1) / n_chunks
+            log(f"{pct:6.2f}%  t={float(ts_np[-1]):.3f} "
+                f"({steps_per_chunk / elapsed:.1f} steps/s)")
+
+    rd.finish_run_log()
+    log(f"done: {time.time() - t_start:.1f} s wall")
+    return carry, rd
+
+
+def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
+                  T_Fr_days=6000.0, packet_delay_days=1000.0, U_g=0.4,
+                  f=3.0, Cg=1.0, out_dir="data", *, max_steps=None,
+                  checkpoint_every=50, resume=False, verbose=True,
+                  **cfg_overrides):
+    """One-layer coupled production run (qgsw_raytrace.m:1 signature)."""
+    from .models.coupled import (CoupledConfig, setup_coupled,
+                                 run_coupled_chunk)
+
+    log = print if verbose else (lambda *_: None)
+    cfg = CoupledConfig(nx=nx, n_packets=Npackets,
+                        near_inertial_factor=near_inertial_factor,
+                        T_Fr_days=T_Fr_days,
+                        packet_delay_days=packet_delay_days, U_g=U_g, f=f,
+                        Cg=Cg, **cfg_overrides)
+    s, carry0 = setup_coupled(cfg)
+    saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
+    run = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
+                                    n_saves=saves_per_pv))
+    Kd2 = cfg.f / cfg.Cg
+    fields_of_state = lambda st: sp.to_grid(st.qk, s.grid)
+    log(f"qgsw_raytrace: nx={nx} Np={Npackets} dt={s.dt:.5f} "
+        f"Fr={s.Fr:.4f} n_steps={s.n_steps}")
+    return _run_coupled(s, carry0, cfg, run, out_dir, fields_of_state,
+                        max_steps, checkpoint_every, resume, log, Kd2)
+
+
+def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
+                        T_Fr_days=6000.0, packet_delay_days=1000.0,
+                        U_g=0.4, f=3.0, Cg=1.0, out_dir="data2", *,
+                        max_steps=None, checkpoint_every=50, resume=False,
+                        verbose=True, **cfg_overrides):
+    """Two-layer coupled production run (qg2layersw_raytrace.m:1)."""
+    from .models.coupled2 import (Coupled2Config, setup_coupled2,
+                                  run_coupled2_chunk)
+
+    log = print if verbose else (lambda *_: None)
+    cfg = Coupled2Config(nx=nx, n_packets=Npackets,
+                         near_inertial_factor=near_inertial_factor,
+                         T_Fr_days=T_Fr_days,
+                         packet_delay_days=packet_delay_days, U_g=U_g,
+                         f=f, Cg=Cg, **cfg_overrides)
+    s, carry0 = setup_coupled2(cfg)
+    saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
+    run = jax.jit(functools.partial(run_coupled2_chunk, s=s, cfg=cfg,
+                                    n_saves=saves_per_pv))
+    fields_of_state = lambda st: sp.to_grid(st.qk, s.grid)  # (2, nx, ny)
+    log(f"qg2layersw_raytrace: nx={nx} Np={Npackets} dt={s.dt:.5f} "
+        f"Fr={s.Fr:.4f} n_steps={s.n_steps}")
+    return _run_coupled(s, carry0, cfg, run, out_dir, fields_of_state,
+                        max_steps, checkpoint_every, resume, log,
+                        cfg.f / cfg.Cg)
+
+
+# SLURM sweep table equivalent (/root/reference/parameters.txt:1-21):
+# (near_inertial_factor w0, U_g), f=3, Cg=1 fixed.
+DEFAULT_SWEEP = [(w0, ug) for w0 in (2.0, 4.0, 8.0, 16.0)
+                 for ug in (0.2, 0.4, 0.6, 0.8, 1.0)]
+
+
+def run_sweep(sweep=None, base_dir="sweep", driver=qgsw_raytrace,
+              **common_kwargs):
+    """Execute a (w0, U_g) parameter sweep — the reference's 20-task
+    SLURM array (runqgsw_raytrace.sbatch:10,17-20) as an in-process
+    loop, one run directory per config."""
+    results = []
+    for i, (w0, ug) in enumerate(sweep or DEFAULT_SWEEP):
+        out = f"{base_dir}/run-{i}"
+        carry, rd = driver(near_inertial_factor=w0, U_g=ug, out_dir=out,
+                           **common_kwargs)
+        results.append((out, w0, ug))
+    return results
