@@ -1,0 +1,98 @@
+"""Sharding + ensemble tests on the virtual 8-device CPU mesh:
+N-shard result == 1-shard result (SURVEY.md section 8 requirement), and
+the vmapped sweep matches per-config sequential runs."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from swraytracing_tpu.models.coupled import (CoupledConfig, setup_coupled,
+                                             run_coupled_chunk)
+from swraytracing_tpu.parallel import sharding as shd
+from swraytracing_tpu.parallel.ensemble import (setup_ensemble,
+                                                run_ensemble_chunk,
+                                                sweep_configs)
+
+
+def test_packet_sharding_matches_single_device():
+    """Same physics on 8 packet shards as on one device (bitwise-ish)."""
+    cfg = CoupledConfig(nx=32, n_packets=64, T_Fr_days=10.0,
+                        packet_delay_days=0.1)
+    s, carry = setup_coupled(cfg)
+    run = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
+                                    n_saves=4))
+    # single device
+    c1, (px1, pk1, _) = run(carry)
+
+    # sharded over all 8 devices' packet axis
+    mesh = shd.make_mesh(ensemble=1)
+    carry_sh = carry.replace(
+        packet_x=jax.device_put(carry.packet_x, shd.packet_sharding(mesh)),
+        packet_k=jax.device_put(carry.packet_k, shd.packet_sharding(mesh)),
+        prev_fields=jax.device_put(carry.prev_fields, shd.replicated(mesh)))
+    c8, (px8, pk8, _) = run(carry_sh)
+
+    np.testing.assert_allclose(np.asarray(px8), np.asarray(px1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pk8), np.asarray(pk1),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_gradient_matches_single_device():
+    """Flow-spectrum gradient psum across packet shards == single-device
+    gradient (the backward all-reduce path)."""
+    cfg = CoupledConfig(nx=32, n_packets=32, T_Fr_days=5.0,
+                        packet_delay_days=0.05)
+    s, carry = setup_coupled(cfg)
+
+    def loss(qk0, c):
+        c = c.replace(flow_state=c.flow_state.replace(qk=qk0))
+        c, (px, pk, ts) = run_coupled_chunk(c, s, cfg, 2)
+        return jnp.mean(jnp.sum(pk[-1] ** 2, -1))
+
+    g1 = jax.jit(jax.grad(loss))(carry.flow_state.qk, carry)
+
+    mesh = shd.make_mesh(ensemble=1)
+    carry_sh = carry.replace(
+        packet_x=jax.device_put(carry.packet_x, shd.packet_sharding(mesh)),
+        packet_k=jax.device_put(carry.packet_k, shd.packet_sharding(mesh)))
+    qk_sh = jax.device_put(carry.flow_state.qk, shd.replicated(mesh))
+    g8 = jax.jit(jax.grad(loss))(qk_sh, carry_sh)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-10)
+
+
+def test_ensemble_matches_sequential():
+    """Vmapped (w0, U_g) sweep == per-config sequential runs."""
+    base = CoupledConfig(nx=32, n_packets=8, T_Fr_days=10.0,
+                         packet_delay_days=0.1)
+    cfgs = sweep_configs(base, w0s=(2.0, 4.0), ugs=(0.3, 0.6))
+    s0, es, carry_b = setup_ensemble(cfgs)
+    carry_b2, (pxb, pkb, tsb) = jax.jit(functools.partial(
+        run_ensemble_chunk, s=s0, cfg=base, n_saves=3))(carry_b, es)
+
+    for i, cfg in enumerate(cfgs):
+        s, carry = setup_coupled(cfg)
+        c, (px, pk, ts) = run_coupled_chunk(carry, s, cfg, 3)
+        np.testing.assert_allclose(np.asarray(pxb[i]), np.asarray(px),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pkb[i]), np.asarray(pk),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_ensemble_freezes_past_T():
+    """A member whose T is tiny must freeze while others advance."""
+    base = CoupledConfig(nx=32, n_packets=4, T_Fr_days=10.0,
+                         packet_delay_days=0.01)
+    cfgs = [base, base._replace(T_Fr_days=10.0)]
+    s0, es, carry_b = setup_ensemble(cfgs)
+    es = es.replace(T=jnp.asarray([0.0, es.T[1]]))  # member 0: already done
+    carry_b2, (pxb, pkb, tsb) = run_ensemble_chunk(carry_b, es, s0, base, 2)
+    # member 0 frozen
+    np.testing.assert_allclose(np.asarray(pxb[0][-1]),
+                               np.asarray(carry_b.packet_x[0]), atol=1e-14)
+    assert float(tsb[0][-1]) == 0.0
+    # member 1 advanced
+    assert float(tsb[1][-1]) > 0.0
