@@ -12,11 +12,12 @@ are differentiable w.r.t. (U0, km, a, ...).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .fields import AnalyticFlow
 
-__all__ = ["childress_soward", "cellular", "CS_PARAMS"]
+__all__ = ["childress_soward", "cellular", "vorticity_well", "CS_PARAMS"]
 
 CS_PARAMS = dict(U0=0.1, km=1.0, a=0.25, c=0.0)
 
@@ -45,3 +46,19 @@ def cellular(A=1.0, t=0.0) -> AnalyticFlow:
     """psi = A cos x cos y — closed particle orbits, the reference's
     advection sanity check (rsw/testparticles.m:10-44)."""
     return AnalyticFlow(params=dict(A=jnp.asarray(A)), t=t, psi=_cell_psi)
+
+
+def _well_psi(x, y, t, p):
+    r2 = (x - p["x0"]) ** 2 + (y - p["y0"]) ** 2
+    return p["A"] * jnp.exp(-r2 / (2.0 * p["sigma"] ** 2))
+
+
+def vorticity_well(A=0.5, sigma=1.0, x0=np.pi, y0=np.pi) -> AnalyticFlow:
+    """Gaussian streamfunction vortex ("steady vorticity-well flow",
+    BASELINE.json config 2): azimuthal velocity peaking at r = sigma,
+    vorticity well at the core."""
+    return AnalyticFlow(params=dict(A=jnp.asarray(A),
+                                    sigma=jnp.asarray(sigma),
+                                    x0=jnp.asarray(x0),
+                                    y0=jnp.asarray(y0)),
+                        psi=_well_psi)
