@@ -4,7 +4,9 @@ Metric: packet-steps/sec/chip — one packet advanced through one coupled
 flow step counts as one packet-step. The MATLAB reference sustains
 ~40-45 flow steps/s with 50 packets at 256^2 on a 6-CPU node
 (BASELINE.md), i.e. ~2.1e3 packet-steps/s. The BASELINE.json north star
-is 1e6 packets on a 512^2 flow at >= 10x that.
+(config 5) is 1e6 packets on a 512^2 TWO-LAYER flow at >= 10x that; the
+default run here is exactly that configuration. BENCH_MODEL=qg1 selects
+the one-layer (qgsw_raytrace.m) configuration instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,7 +17,8 @@ import time
 
 NX = int(os.environ.get("BENCH_NX", "512"))
 NP = int(os.environ.get("BENCH_NP", str(1_000_000)))
-N_SAVES = int(os.environ.get("BENCH_SAVES", "10"))
+N_SAVES = int(os.environ.get("BENCH_SAVES", "2"))
+MODEL = os.environ.get("BENCH_MODEL", "qg2")
 BASELINE_PACKET_STEPS_PER_SEC = 2.1e3  # MATLAB reference, BASELINE.md
 
 
@@ -28,15 +31,22 @@ def main():
     # deserialization is unimplemented on the axon TPU backend and poisons
     # every jit with a deferred UNIMPLEMENTED error.
 
-    from swraytracing_tpu.models.coupled import (
-        CoupledConfig, setup_coupled, run_coupled_chunk)
+    if MODEL == "qg2":
+        from swraytracing_tpu.models.coupled2 import (
+            Coupled2Config as Config, setup_coupled2 as setup,
+            run_coupled2_chunk as run_chunk)
+        cfg = Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
+                     packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
+    else:
+        from swraytracing_tpu.models.coupled import (
+            CoupledConfig as Config, setup_coupled as setup,
+            run_coupled_chunk as run_chunk)
+        cfg = Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
+                     packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
+    s, carry = setup(cfg)
 
-    cfg = CoupledConfig(nx=NX, n_packets=NP, T_Fr_days=6000.0,
-                        packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
-    s, carry = setup_coupled(cfg)
-
-    run = jax.jit(functools.partial(
-        run_coupled_chunk, s=s, cfg=cfg, n_saves=N_SAVES))
+    run = jax.jit(functools.partial(run_chunk, s=s, cfg=cfg,
+                                    n_saves=N_SAVES))
 
     # Warm-up: compile + one full chunk (also spreads packets off the ICs).
     carry, hist = run(carry)
@@ -50,7 +60,8 @@ def main():
     flow_steps = N_SAVES * cfg.packet_steps_per_save
     packet_steps_per_sec = flow_steps * cfg.n_packets / elapsed
     print(json.dumps({
-        "metric": f"packet-steps/sec/chip ({NP:.0e} packets, {NX}^2 QG)",
+        "metric": (f"packet-steps/sec/chip ({NP:.0e} packets, {NX}^2 "
+                   f"{'two-layer' if MODEL == 'qg2' else 'one-layer'} QG)"),
         "value": round(packet_steps_per_sec, 1),
         "unit": "packet-steps/s",
         "vs_baseline": round(

@@ -19,7 +19,7 @@ import numpy as np
 from . import spectra
 
 __all__ = ["plot_energy_spectra", "plot_omega_pdf_check", "render_pv_frame",
-           "animate_pv"]
+           "animate_pv", "plot_trajectories"]
 
 
 def _mpl():
@@ -105,6 +105,42 @@ def render_pv_frame(q, grid, packet_x=None, packet_k=None, path=None,
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_trajectories(x_frames, k_frames, f: float, Cg: float, path=None,
+                      background=None, grid=None):
+    """Packet trajectories in x-space + k-space ring evolution + omega(t)
+    — the /root/reference/raytracing_figures.m panels."""
+    plt = _mpl()
+    x_frames = np.asarray(x_frames)
+    k_frames = np.asarray(k_frames)
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    if background is not None and grid is not None:
+        X, Y = grid.meshgrid()
+        axes[0].pcolormesh(X, Y, np.asarray(background), cmap="RdBu_r",
+                           alpha=0.6, shading="auto")
+    n_show = min(x_frames.shape[1], 40)
+    for pth in range(n_show):
+        axes[0].plot(x_frames[:, pth, 0], x_frames[:, pth, 1], lw=0.7)
+    axes[0].set_title("trajectories")
+    axes[0].set_xlabel("x")
+    axes[0].set_ylabel("y")
+    for pth in range(n_show):
+        axes[1].plot(k_frames[:, pth, 0], k_frames[:, pth, 1], lw=0.7)
+    axes[1].scatter(k_frames[0, :, 0], k_frames[0, :, 1], s=8, c="k")
+    axes[1].set_title("wavevector paths")
+    axes[1].set_xlabel("k")
+    axes[1].set_ylabel("l")
+    axes[1].set_aspect("equal")
+    om = np.sqrt(f**2 + Cg**2 * np.sum(k_frames**2, -1))
+    axes[2].plot(om / f, lw=0.7)
+    axes[2].set_title(r"$\omega/f$ per packet")
+    axes[2].set_xlabel("frame")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=130)
         plt.close(fig)
     return fig
 

@@ -131,3 +131,33 @@ def interpolate_stack(F, x, y, grid: SpectralGrid, order: int = 2):
     (interpolate_U.m:5-17); here the stencil is computed once."""
     ix, iy, wx, wy = stencil_and_weights(x, y, grid, order)
     return interp_stencil_apply(F, ix, iy, wx, wy)
+
+
+def _cubic_conv_weights(frac):
+    """Keys cubic-convolution (a=-1/2, MATLAB interp2 'cubic' kernel)
+    weights for nodes -1, 0, 1, 2 at fractional position frac in [0,1)."""
+    t = frac[..., None]
+    w_m1 = -0.5 * t * (1 - t) ** 2
+    w_0 = 1 - 2.5 * t**2 + 1.5 * t**3
+    w_1 = 0.5 * t * (1 + 4 * t - 3 * t**2)
+    w_2 = 0.5 * t**2 * (t - 1)
+    return jnp.concatenate([w_m1, w_0, w_1, w_2], axis=-1)
+
+
+def interpolate_cubic(F, x, y, grid: SpectralGrid):
+    """Periodic bicubic-convolution interpolation — the reference's
+    interpolate2.m intent (MATLAB interp2 'cubic' on a periodic
+    4-point halo-extended grid), implemented correctly; the reference's
+    version is buggy (see why_isnt_interpolate2_working.m:32-49, which
+    sweeps y-slices comparing it against the Lagrangian stencil)."""
+    offsets = np.arange(-1, 3)
+    xl = jnp.mod(x / grid.dx, grid.nx)
+    yl = jnp.mod(y / grid.dy, grid.ny)
+    i0 = jnp.floor(xl)
+    j0 = jnp.floor(yl)
+    wx = _cubic_conv_weights(xl - i0)
+    wy = _cubic_conv_weights(yl - j0)
+    ix = jnp.mod(i0[:, None].astype(jnp.int32) + offsets, grid.nx)
+    iy = jnp.mod(j0[:, None].astype(jnp.int32) + offsets, grid.ny)
+    return interp_stencil_apply(F, ix.astype(jnp.int32),
+                                iy.astype(jnp.int32), wx, wy)

@@ -163,3 +163,32 @@ def test_gradients_wrt_positions_and_field():
     eps = 1e-6
     fd = (valF(f + eps * dF) - valF(f - eps * dF)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.vdot(gF, dF)), float(fd), rtol=1e-6)
+
+
+def test_cubic_interpolation_accuracy():
+    """interpolate_cubic (the corrected interpolate2.m) reproduces nodes
+    exactly and converges on smooth fields; the 6-point Lagrangian
+    stencil stays more accurate (higher order)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from swraytracing_tpu.ops.grid import SpectralGrid
+    from swraytracing_tpu.ops.interp import interpolate, interpolate_cubic
+
+    grid = SpectralGrid.square(64)
+    X, Y = grid.meshgrid()
+    F = jnp.asarray(np.sin(3 * X) * np.cos(2 * Y))
+    # node reproduction
+    xg = jnp.asarray(grid.x[5:9])
+    yg = jnp.asarray(grid.y[11:15])
+    got = interpolate_cubic(F, xg, yg, grid)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(F)[5:9, 11:15].diagonal(),
+                               atol=1e-13)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 2 * np.pi, 300))
+    y = jnp.asarray(rng.uniform(0, 2 * np.pi, 300))
+    exact = np.sin(3 * np.asarray(x)) * np.cos(2 * np.asarray(y))
+    errc = np.abs(np.asarray(interpolate_cubic(F, x, y, grid)) - exact).max()
+    errl = np.abs(np.asarray(interpolate(F, x, y, grid)) - exact).max()
+    assert errc < 1e-3
+    assert errl < errc  # 6-point Lagrangian beats bicubic
