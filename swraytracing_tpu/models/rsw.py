@@ -336,3 +336,27 @@ def wave_vortex_decompose(u, v, h, grid: SpectralGrid, p: RSWParams):
     G = sp.to_grid(jnp.stack([ugk, vgk, hgk]), grid)
     ug, vg, hg = G[0], G[1], G[2] / C
     return (ug, vg, hg), (u - ug, v - vg, h - hg)
+
+
+def wave_vortex_spectra(u, v, h, grid: SpectralGrid, p: RSWParams):
+    """Isotropic KE/PE spectra of the wave and vortex parts — the
+    rsw/wavevortdecomp.m:24-55 diagnostics (it calls `iso_spectra`,
+    which the reference does not ship; ops.spectral.isospectrum is the
+    shipped isospectrum applied per energy density here).
+
+    Returns dict with 'ke_g', 'pe_g', 'ke_w', 'pe_w', each (kmax,)."""
+    (ug, vg, hg), (uw, vw, hw) = wave_vortex_decompose(u, v, h, grid, p)
+
+    def spec2(a, b=None):
+        ak = sp.to_spectral(a, grid)
+        d = jnp.abs(ak) ** 2
+        if b is not None:
+            d = d + jnp.abs(sp.to_spectral(b, grid)) ** 2
+        return sp.isospectrum(d, grid)
+
+    return {
+        "ke_g": 0.5 * spec2(ug, vg),
+        "pe_g": 0.5 * p.Cg**2 * spec2(hg),
+        "ke_w": 0.5 * spec2(uw, vw),
+        "pe_w": 0.5 * p.Cg**2 * spec2(hw),
+    }

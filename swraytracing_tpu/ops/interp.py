@@ -109,7 +109,9 @@ def interp_stencil_apply(F, ix, iy, wx, wy):
         F = F[None]
     nf, nx, ny = F.shape
     flat_idx = ix[:, :, None] * ny + iy[:, None, :]          # (Np, S, S)
-    vals = jnp.take(F.reshape(nf, nx * ny), flat_idx, axis=1)  # (nf,Np,S,S)
+    # indices are pre-wrapped into range -> skip the gather's clamp
+    vals = F.reshape(nf, nx * ny).at[:, flat_idx].get(
+        mode="promise_in_bounds")                            # (nf,Np,S,S)
     w2 = wx[:, :, None] * wy[:, None, :]                       # (Np, S, S)
     out = jnp.einsum("fpij,pij->fp", vals, w2)
     return out[0] if single else out

@@ -1,0 +1,53 @@
+"""Multi-host execution helpers.
+
+The reference's only multi-node mechanism is SLURM launching independent
+MATLAB processes (SURVEY.md section 2.7). TPU-native equivalent: one
+SPMD program over all hosts — `jax.distributed.initialize()` + a global
+(ensemble, packets) mesh spanning every chip; packet arrays are created
+host-locally and assembled into global arrays, collectives ride
+ICI/DCN automatically through GSPMD.
+
+This module cannot be exercised on the single-chip dev box (the driver
+validates multi-device semantics via __graft_entry__.dryrun_multichip on
+a virtual mesh); it wires the standard jax.distributed path for real
+pods.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import make_mesh
+
+__all__ = ["initialize", "global_packet_array", "host_local_slice"]
+
+
+def initialize(coordinator: str | None = None, num_processes: int | None
+               = None, process_id: int | None = None):
+    """jax.distributed.initialize with env-based defaults (on Cloud TPU
+    pods all arguments are auto-detected). Call before any jax op."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def global_packet_array(local_np_array, mesh: Mesh,
+                        spec: P = P(("ensemble", "packets"))):
+    """Assemble per-host packet blocks into one global sharded array
+    (jax.make_array_from_process_local_data): each host contributes its
+    local packets; the global leading dimension is the sum."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding,
+                                                  np.asarray(local_np_array))
+
+
+def host_local_slice(global_array):
+    """The addressable (this-host) shards of a global array, concatenated
+    — for host-side I/O of packet frames (each host writes its own
+    slice; frame-addressed binio supports disjoint writes)."""
+    shards = [np.asarray(s.data) for s in global_array.addressable_shards]
+    return np.concatenate(shards, axis=0) if shards else np.empty((0,))

@@ -144,3 +144,58 @@ def test_particle_advection_cellular():
     psi0 = np.cos(np.asarray(xp[:, 0])) * np.cos(np.asarray(xp[:, 1]))
     psiT = np.cos(np.asarray(x[:, 0])) * np.cos(np.asarray(x[:, 1]))
     np.testing.assert_allclose(psiT, psi0, atol=1e-5)
+
+
+def test_example_ics_run_stably():
+    """swexamples.m IC library: each canned IC runs in swk and stays
+    finite; the wave/vortex split behaves as constructed."""
+    from swraytracing_tpu.models import examples
+
+    grid = SpectralGrid.square(64)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    cases = {
+        "packet": examples.wave_packet_ic(grid, F, CG),
+        "adjust": examples.zero_pv_adjustment_ic(grid, F, CG),
+        "vortex": examples.rigid_lid_vortex_ic(grid, F, CG),
+        "inertial": examples.inertial_oscillation_ic(grid),
+        "standing": examples.counter_propagating_ic(grid, F, CG),
+        "bath": examples.wave_bath_ic(grid, F, CG, aw=0.02),
+    }
+    for name, (u0, v0, h0) in cases.items():
+        st = rsw.rsw_init(u0, v0, h0, grid, p)
+        st, S, ts, ke, pe = rsw.simulate_rsw(st, grid, p, 30, 30)
+        assert bool(jnp.isfinite(S).all()), name
+        assert not bool(st.blown), name
+
+
+def test_inertial_oscillation_rotates_at_f():
+    """Uniform flow rotates at exactly f (swexamples.m inertial case)."""
+    from swraytracing_tpu.models import examples
+
+    grid = SpectralGrid.square(32)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    u0, v0, h0 = examples.inertial_oscillation_ic(grid, u0=0.1)
+    st = rsw.rsw_init(u0, v0, h0, grid, p)
+    st, S, ts, ke, pe = rsw.simulate_rsw(st, grid, p, 200, 200)
+    T = float(st.t)
+    np.testing.assert_allclose(np.asarray(S[-1][0]),
+                               0.1 * np.cos(F * T), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(S[-1][1]),
+                               -0.1 * np.sin(F * T), atol=2e-4)
+
+
+def test_wave_vortex_spectra_separates_bands():
+    """wavespecic2d-style IC: wave energy in |k|<=5, geostrophic energy
+    in the 10<|k|<=13 band; the decomposed iso-spectra must reflect it."""
+    from swraytracing_tpu.models import examples
+
+    grid = SpectralGrid.square(64)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    (u, v, h), (ug, vg, hg) = examples.wave_and_geostrophic_spectrum_ic(
+        grid, F, CG, aw=0.05, ag=0.2)
+    spec = rsw.wave_vortex_spectra(jnp.asarray(u), jnp.asarray(v),
+                                   jnp.asarray(h), grid, p)
+    ke_g = np.asarray(spec["ke_g"])  # rings K=1..kmax
+    ke_w = np.asarray(spec["ke_w"])
+    assert ke_w[:5].sum() > 10 * ke_w[9:13].sum()   # waves at low K
+    assert ke_g[9:13].sum() > 10 * ke_g[:5].sum()   # vortex in its band
