@@ -33,8 +33,15 @@ __all__ = ["qgsw_raytrace", "qg2layersw_raytrace", "run_sweep",
 
 
 def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
-                 max_steps, checkpoint_every, resume, log, Kd2):
-    """Shared chunked execution + I/O loop for both coupled drivers."""
+                 max_steps, checkpoint_every, resume, log, Kd2,
+                 cfl_recheck=None):
+    """Shared chunked execution + I/O loop for both coupled drivers.
+
+    cfl_recheck: optional (carry, run) -> run hook called between
+    chunks; used by the two-layer driver to rebuild the exponential
+    operators with a smaller dt when the flow speeds up
+    (qg2layersw_raytrace.m:154-165 semantics at chunk granularity).
+    """
     s = setup
     rd = RunDir(out_dir)
     grid = s.grid
@@ -86,6 +93,16 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
         jax.block_until_ready(carry)
         elapsed = time.time() - tc
 
+        # Blow-up detection (rsw/swk.m:144-148 semantics at chunk
+        # granularity): save what we have and stop instead of writing NaNs.
+        qk_now = np.asarray(carry.flow_state.qk)
+        if not np.isfinite(qk_now).all():
+            log(f"BLOW UP detected at chunk {chunk} "
+                f"(t~{float(np.asarray(ts)[-1]):.3f}); stopping and "
+                "keeping frames written so far")
+            rd.log_metrics(chunk=chunk, blow_up=True)
+            break
+
         px_np = np.asarray(px)
         pk_np = np.asarray(pk)
         ts_np = np.asarray(ts)
@@ -109,6 +126,8 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                                              * cfg.n_packets / elapsed))
         if checkpoint_every and (chunk + 1) % checkpoint_every == 0:
             save_state(rd.path / "ckpt", carry, step=chunk + 1)
+        if cfl_recheck is not None:
+            run = cfl_recheck(carry, run)
         if chunk % 10 == 0:
             pct = 100.0 * (chunk + 1) / n_chunks
             log(f"{pct:6.2f}%  t={float(ts_np[-1]):.3f} "
@@ -163,14 +182,39 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                          f=f, Cg=Cg, **cfg_overrides)
     s, carry0 = setup_coupled2(cfg)
     saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
-    run = jax.jit(functools.partial(run_coupled2_chunk, s=s, cfg=cfg,
-                                    n_saves=saves_per_pv))
+
+    state = {"s": s}
+
+    def make_run(setup_now):
+        return jax.jit(functools.partial(run_coupled2_chunk, s=setup_now,
+                                         cfg=cfg, n_saves=saves_per_pv))
+
+    def cfl_recheck(carry, run):
+        """Rebuild exp(dt L) with halved-CFL dt when the flow outruns
+        the current step (qg2layersw_raytrace.m:154-165)."""
+        from .models.qg2 import build_operators, max_speed2
+
+        sn = state["s"]
+        U0 = float(jax.jit(lambda q: max_speed2(
+            q, sn.grid, sn.ops, sn.params))(carry.flow_state.qk))
+        cfl_dt = cfg.CFL_fraction * sn.grid.dx / max(U0, 1e-12)
+        if cfl_dt < sn.dt or sn.dt < cfl_dt / 4.0:
+            new_dt = 0.5 * cfl_dt
+            log(f"CFL recheck: max|u|={U0:.4f}, dt {sn.dt:.5f} -> "
+                f"{new_dt:.5f}; rebuilding operators")
+            ops = build_operators(sn.grid, sn.params, new_dt)
+            state["s"] = sn._replace(ops=ops, dt=new_dt, U0=U0,
+                                     Fr=U0 / cfg.Cg)
+            return make_run(state["s"])
+        return run
+
+    run = make_run(s)
     fields_of_state = lambda st: sp.to_grid(st.qk, s.grid)  # (2, nx, ny)
     log(f"qg2layersw_raytrace: nx={nx} Np={Npackets} dt={s.dt:.5f} "
         f"Fr={s.Fr:.4f} n_steps={s.n_steps}")
     return _run_coupled(s, carry0, cfg, run, out_dir, fields_of_state,
                         max_steps, checkpoint_every, resume, log,
-                        cfg.f / cfg.Cg)
+                        cfg.f / cfg.Cg, cfl_recheck=cfl_recheck)
 
 
 # SLURM sweep table equivalent (/root/reference/parameters.txt:1-21):

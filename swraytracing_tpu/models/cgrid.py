@@ -197,3 +197,8 @@ def geostrophic_velocities(h, p: SWPParams, dx, dy):
     u = -(p.Cg**2 / f) * dif(h, 1, p.periody, shift=True) / dy
     v = (p.Cg**2 / f) * dif(h, 0, p.periodx, shift=True) / dx
     return u, v
+
+
+def cgrid_divergence(u, v, p: SWPParams, dx, dy):
+    """div u on h points (rsw/getdiv.m)."""
+    return (dif(u, 0, p.periodx) / dx + dif(v, 1, p.periody) / dy)

@@ -28,7 +28,21 @@ import jax.numpy as jnp
 
 from ..ops.grid import SpectralGrid
 
-__all__ = ["linear_sw_solution", "plane_wave_ic", "geostrophic_ic"]
+__all__ = ["linear_sw_solution", "linear_sw_solution_1d", "plane_wave_ic",
+           "geostrophic_ic"]
+
+
+def linear_sw_solution_1d(u0, v0, h0, f: float, C: float, times,
+                          L: float = 2 * np.pi):
+    """1-D exact linear SW evolution (the reference's rsw/lsw1.m intent;
+    that file is broken — `length(U,1)` at lsw1.m:17 is not valid
+    MATLAB). Implemented as the l=0 slice of the 2-D eigen solution."""
+    n = len(np.asarray(u0))
+    grid1 = SpectralGrid(nx=n, ny=2, Lx=L, Ly=L)
+    tile = lambda a: np.repeat(np.asarray(a)[:, None], 2, axis=1)
+    u, v, h = linear_sw_solution(tile(u0), tile(v0), tile(h0), f, C,
+                                 times, grid1)
+    return u[:, :, 0], v[:, :, 0], h[:, :, 0]
 
 
 def _fullplane_wavenumbers(grid: SpectralGrid):

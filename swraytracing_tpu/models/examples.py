@@ -22,6 +22,8 @@ __all__ = [
     "counter_propagating_ic",
     "wave_bath_ic",
     "wave_and_geostrophic_spectrum_ic",
+    "translating_cs_background",
+    "doppler_wave_field",
 ]
 
 
@@ -143,3 +145,72 @@ def wave_and_geostrophic_spectrum_ic(grid: SpectralGrid, f: float,
     s = ag / max(smax, 1e-30)
     ug, vg, hg = s * ug, s * vg, s * hg
     return (uw + ug, vw + vg, hw + hg), (ug, vg, hg)
+
+
+def translating_cs_background(grid: SpectralGrid, f: float, Cg: float,
+                              ag: float = 0.2, km: int = 1,
+                              a_cs: float = 0.25, raXT: float = 0.1):
+    """Time-dependent background (U, V) from a translating
+    Childress-Soward streamfunction — the swkU_tc configuration
+    (/root/reference/rsw/swkU_tc.m:202-220): Psi translates in both x
+    and y at rate raXT; amplitude normalised so max|Psi| = ag each step.
+
+    Returns background_fn(t) -> (U, V) grids for rsw.simulate_rsw.
+    """
+    import jax.numpy as jnp
+
+    X, Y = grid.meshgrid()
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    scale = Cg**2 / f
+
+    def psi_at(t):
+        xs = km * (Xj - t * raXT)
+        ys = km * (Yj - t * raXT)
+        psi = scale * (jnp.sin(xs) * jnp.sin(ys)
+                       + a_cs * jnp.cos(xs) * jnp.cos(ys))
+        return ag * psi / jnp.max(jnp.abs(psi))
+
+    def background_fn(t):
+        from ..ops import spectral as sp
+
+        psik = sp.to_spectral(psi_at(t), grid)
+        U = sp.to_grid(-sp.ddy(psik, grid), grid)
+        V = sp.to_grid(sp.ddx(psik, grid), grid)
+        return U, V
+
+    return background_fn
+
+
+def doppler_wave_field(grid: SpectralGrid, f: float, C0: float, times,
+                       ag: float = 0.2, aw: float = 0.1, a_cs: float = 0.25,
+                       km: int = 1, k_range=range(3, 11),
+                       l_range=range(5, 11), seed: int = 0):
+    """Linear wave superposition Doppler-shifted by a steady CS
+    geostrophic flow, neglecting refraction
+    (/root/reference/rsw/dopplerwave.m): each mode advances with local
+    phase theta = k x + l y + phi - (omega + k U_g + l V_g) t
+    (the onewave.m construction). Returns eta (nt, nx, ny) plus the
+    geostrophic (ug, vg, etag)."""
+    rng = np.random.default_rng(seed)
+    X, Y = grid.meshgrid()
+    Xc = X - grid.Lx / 2
+    Yc = Y - grid.Ly / 2
+    etag = ag * (np.sin(km * Xc) * np.sin(km * Yc)
+                 + a_cs * np.cos(km * Xc) * np.cos(km * Yc))
+    ug = -ag * km * C0**2 / f * (np.sin(km * Xc) * np.cos(km * Yc)
+                                 - a_cs * np.cos(km * Xc) * np.sin(km * Yc))
+    vg = ag * km * C0**2 / f * (np.cos(km * Xc) * np.sin(km * Yc)
+                                - a_cs * np.sin(km * Xc) * np.cos(km * Yc))
+    times = np.atleast_1d(times)
+    eta = np.zeros((len(times),) + grid.shape)
+    for k in k_range:
+        for l in l_range:
+            K2 = k * k + l * l
+            phi = rng.uniform(0, 2 * np.pi)
+            sgn = 1 if rng.random() > 0.5 else -1
+            w = sgn * np.sqrt(f**2 + C0**2 * K2)
+            for it, t in enumerate(times):
+                theta = (k * Xc + l * Yc + phi
+                         - (w + k * ug + l * vg) * t)
+                eta[it] += aw * np.cos(theta)
+    return eta, (ug, vg, etag)

@@ -58,7 +58,19 @@ __all__ = [
 
 
 class RSWParams(NamedTuple):
-    """Physics + tuning (swk.m:46-49)."""
+    """Physics + tuning (swk.m:46-49).
+
+    Variant coverage of the reference's swk family:
+      * swks ("flux-form") differs from swk ONLY in its Bernoulli
+        missing the 1/2 on the kinetic term (swks.m:176 `gprod(u,u) +
+        gprod(v,v)` vs swk.m:208 `.5*gprod(u,u)+.5*gprod(v,v)`; its h
+        equation is identical despite the header) — set
+        bernoulli_half=False to reproduce it;
+      * swknd (nondimensional, parameters ep = U/(f Ld), gam = Ld/L) is
+        the same solver under the substitution f -> 1/ep,
+        Cg^2 -> gam^2/ep^2 on the unit domain — use those values here
+        rather than a separate code path.
+    """
 
     f: float
     Cg: float
@@ -68,6 +80,7 @@ class RSWParams(NamedTuple):
     dealias: bool = True
     killpv: bool = False        # swkU.m:50,193-197
     pv_damp_rate: float = 0.0   # swkUqx.m PV_damping rate (0 = off)
+    bernoulli_half: bool = True  # False = swks.m:176 variant
 
     @property
     def Cmax(self):
@@ -159,7 +172,8 @@ def rsw_rhs(Sk, grid: SpectralGrid, p: RSWParams, UV=None):
                                    p.dealias)
         u, v, h, zeta = fields
         umax = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
-        prods = jnp.stack([v * zeta, u * zeta, 0.5 * (u * u + v * v),
+        bfac = 0.5 if p.bernoulli_half else 1.0
+        prods = jnp.stack([v * zeta, u * zeta, bfac * (u * u + v * v),
                            u * h, v * h])
         pk = _from_work_grid(prods, grid, wg, p.dealias)
         vz_k, uz_k, ke_k, uh_k, vh_k = pk

@@ -199,3 +199,59 @@ def test_wave_vortex_spectra_separates_bands():
     ke_w = np.asarray(spec["ke_w"])
     assert ke_w[:5].sum() > 10 * ke_w[9:13].sum()   # waves at low K
     assert ke_g[9:13].sum() > 10 * ke_g[:5].sum()   # vortex in its band
+
+
+def test_swks_bernoulli_variant_runs():
+    """swks.m = swk with the Bernoulli missing its 1/2
+    (swks.m:176); covered by bernoulli_half=False."""
+    grid = SpectralGrid.square(32)
+    p = rsw.RSWParams(f=F, Cg=CG, bernoulli_half=False)
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, 2, 1, eta0=0.01)
+    st = rsw.rsw_init(u0, v0, h0, grid, p)
+    st, S, ts, ke, pe = rsw.simulate_rsw(st, grid, p, 40, 40)
+    assert bool(jnp.isfinite(S).all()) and not bool(st.blown)
+
+
+def test_translating_cs_background_swku_tc():
+    """swkU_tc: linearized waves over a TRANSLATING Childress-Soward
+    background recomputed per step (swkU_tc.m:202-220)."""
+    from swraytracing_tpu.models import examples
+
+    grid = SpectralGrid.square(48)
+    p = rsw.RSWParams(f=F, Cg=CG)
+    bg = examples.translating_cs_background(grid, F, CG, ag=0.1, raXT=0.2)
+    # background translates: U(t=0) != U(t=2)
+    U0g, _ = bg(jnp.asarray(0.0))
+    U2g, _ = bg(jnp.asarray(2.0))
+    assert float(jnp.abs(U0g - U2g).max()) > 1e-3
+    u0, v0, h0 = plane_wave_ic(grid, F, CG, 3, 1, eta0=0.02)
+    st = rsw.rsw_init(u0, v0, h0, grid, p)
+    st, S, ts, ke, pe = jax.jit(lambda s: rsw.simulate_rsw(
+        s, grid, p, 60, 60, background_fn=bg))(st)
+    assert bool(jnp.isfinite(S).all())
+
+
+def test_doppler_wave_field_builder():
+    from swraytracing_tpu.models import examples
+
+    grid = SpectralGrid.square(48)
+    eta, (ug, vg, etag) = examples.doppler_wave_field(
+        grid, F, CG, [0.0, 0.5], k_range=range(3, 5), l_range=range(5, 7))
+    assert eta.shape == (2, 48, 48)
+    assert np.isfinite(eta).all()
+    assert np.abs(eta[1] - eta[0]).max() > 1e-3  # waves moved
+
+
+def test_exact_linear_1d():
+    from swraytracing_tpu.models.exact_linear import linear_sw_solution_1d
+
+    n, k = 64, 3
+    x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    w = np.sqrt(F**2 + CG**2 * k**2)
+    h0 = 0.01 * np.cos(k * x)
+    u0 = 0.01 * w / k * np.cos(k * x)
+    v0 = 0.01 * F / k * np.sin(k * x)
+    T = 0.4
+    u, v, h = linear_sw_solution_1d(u0, v0, h0, F, CG, [T])
+    np.testing.assert_allclose(h[0], 0.01 * np.cos(k * x - w * T),
+                               atol=1e-12)
