@@ -108,8 +108,10 @@ def raytrace_pv_snapshot(pv_path, frame: int, nx: int, Kd2: float,
 
     q = binio.read_field(pv_path, nx, nx, frames=frame)
     grid = SpectralGrid.square(nx, L)
-    qk = sp.to_spectral(jnp.asarray(q), grid)
-    flow = flow_from_qk(qk, grid, Kd2)
+    # jit: eager ops are unsupported on the axon TPU backend
+    flow = GriddedFlow(fields=jax.jit(
+        lambda g: flow_from_qk(sp.to_spectral(g, grid), grid, Kd2).fields
+    )(jnp.asarray(q)), grid=grid)
     x0, k0 = ring_ics(n_packets, w0, disp, L, seed)
     return raytrace_frozen(flow, x0, k0, disp, dt, nsteps, save_every,
                            stepper)
@@ -125,18 +127,22 @@ def raytrace_rsw_restart(u, v, h, disp: Dispersion, grid: SpectralGrid,
     Returns (x, k, a, t) frame stacks.
     """
     p = RSWParams(f=disp.f, Cg=disp.Cg)
-    (ug, vg, hg), _ = wave_vortex_decompose(jnp.asarray(u), jnp.asarray(v),
-                                            jnp.asarray(h), grid, p)
-    psik = None
-    # geostrophic velocity-gradient grids from the decomposed flow
-    Sk = sp.to_spectral(jnp.stack([ug, vg]), grid)
-    fields = jnp.concatenate([
-        jnp.stack([ug, vg]),
-        sp.to_grid(jnp.stack([sp.ddx(Sk[0], grid), sp.ddy(Sk[0], grid),
-                              sp.ddx(Sk[1], grid), sp.ddy(Sk[1], grid)]),
-                   grid)])
+
+    @jax.jit
+    def build(u_, v_, h_):
+        (ug, vg, hg), _ = wave_vortex_decompose(u_, v_, h_, grid, p)
+        # geostrophic velocity-gradient grids from the decomposed flow
+        Sk = sp.to_spectral(jnp.stack([ug, vg]), grid)
+        fields = jnp.concatenate([
+            jnp.stack([ug, vg]),
+            sp.to_grid(jnp.stack([sp.ddx(Sk[0], grid),
+                                  sp.ddy(Sk[0], grid),
+                                  sp.ddx(Sk[1], grid),
+                                  sp.ddy(Sk[1], grid)]), grid)])
+        return fields, 1.0 + hg
+
+    fields, H = build(jnp.asarray(u), jnp.asarray(v), jnp.asarray(h))
     flow = GriddedFlow(fields=fields, grid=grid)
-    H = 1.0 + hg
     a0 = jnp.ones(x0.shape[0]) if a0 is None else jnp.asarray(a0)
 
     nframes = nsteps // save_every

@@ -280,4 +280,5 @@ def initial_q2_ring(seed, grid: SpectralGrid, U_g: float, Kd2: float,
 
     q1k = initial_q_ring(seed, grid, U_g, Kd2, k_min=k_min, k_max=k_max,
                          ring=ring)
-    return jnp.stack([q1k, -q1k])
+    # jit: eager ops are unsupported on the axon TPU backend
+    return jax.jit(lambda q: jnp.stack([q, -q]))(q1k)
