@@ -25,6 +25,7 @@ import jax
 
 from .io import binio
 from .io.runmeta import RunDir
+from .utils.host import fetch
 from .io.checkpoint import save_state, restore_state, latest_checkpoint
 from .ops import spectral as sp
 
@@ -81,7 +82,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                           rd.file("packet_x"), 1)
         binio.write_field(np.asarray(carry.packet_k), rd.file("packet_k"), 1)
         binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
-        q0 = np.asarray(jax.jit(fields_of_state)(carry.flow_state))
+        q0 = fetch(jax.jit(fields_of_state)(carry.flow_state))
         binio.write_field(np.moveaxis(q0, 0, -1) if q0.ndim == 3 else q0,
                           rd.file("pv"), 1)
         binio.write_field(np.asarray(0.0), rd.file("pv_time"), 1)
@@ -95,7 +96,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
 
         # Blow-up detection (rsw/swk.m:144-148 semantics at chunk
         # granularity): save what we have and stop instead of writing NaNs.
-        qk_now = np.asarray(carry.flow_state.qk)
+        qk_now = fetch(carry.flow_state.qk)
         if not np.isfinite(qk_now).all():
             log(f"BLOW UP detected at chunk {chunk} "
                 f"(t~{float(np.asarray(ts)[-1]):.3f}); stopping and "
@@ -103,9 +104,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             rd.log_metrics(chunk=chunk, blow_up=True)
             break
 
-        px_np = np.asarray(px)
-        pk_np = np.asarray(pk)
-        ts_np = np.asarray(ts)
+        px_np, pk_np, ts_np = fetch((px, pk, ts))
         for j in range(px_np.shape[0]):
             packet_frame += 1
             binio.write_field(grid.wrap_centered(px_np[j]),
@@ -114,7 +113,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             binio.write_field(ts_np[j], rd.file("packet_time"),
                               packet_frame)
         pv_frame += 1
-        q = np.asarray(jax.jit(fields_of_state)(carry.flow_state))
+        q = fetch(jax.jit(fields_of_state)(carry.flow_state))
         binio.write_field(np.moveaxis(q, 0, -1) if q.ndim == 3 else q,
                           rd.file("pv"), pv_frame)
         binio.write_field(float(ts_np[-1]), rd.file("pv_time"), pv_frame)
@@ -195,7 +194,8 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
         from .models.qg2 import build_operators, max_speed2
 
         sn = state["s"]
-        U0 = float(jax.jit(lambda q: max_speed2(
+        from .utils.host import fetch_float
+        U0 = fetch_float(jax.jit(lambda q: max_speed2(
             q, sn.grid, sn.ops, sn.params))(carry.flow_state.qk))
         cfl_dt = cfg.CFL_fraction * sn.grid.dx / max(U0, 1e-12)
         if cfl_dt < sn.dt or sn.dt < cfl_dt / 4.0:

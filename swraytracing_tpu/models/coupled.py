@@ -111,8 +111,12 @@ def setup_coupled(cfg: CoupledConfig):
     qk0 = initial_q_ring(cfg.seed, grid, cfg.U_g, Kd2, ring=cfg.ring_ic)
     forcing = inertial_ring_forcing(cfg.forcing_strength, grid, cfg.f, cfg.Cg)
 
-    # jit: the axon TPU backend cannot dispatch FFTs eagerly
-    U0 = float(jax.jit(max_speed, static_argnums=(1, 2))(qk0, grid, Kd2))
+    # jit: the axon TPU backend cannot dispatch FFTs eagerly; fetch via
+    # the laundering helper (complex-input executables' output buffers
+    # cannot be host-copied directly there)
+    from ..utils.host import fetch_float
+    U0 = fetch_float(jax.jit(max_speed, static_argnums=(1, 2))(qk0, grid,
+                                                               Kd2))
     Fr = U0 / cfg.Cg
     T_days = cfg.T_Fr_days / cfg.f
     T = T_days / Fr**2

@@ -89,7 +89,8 @@ def setup_coupled2(cfg: Coupled2Config):
 
     # dt from initial CFL at the reference's rebuild safety factor
     ops_probe = build_operators(grid, p, 1.0)  # B only needed
-    U0 = float(jax.jit(
+    from ..utils.host import fetch_float
+    U0 = fetch_float(jax.jit(
         lambda q: max_speed2(q, grid, ops_probe, p))(qk0))
     Fr = U0 / cfg.Cg
     T = (cfg.T_Fr_days / cfg.f) / Fr**2
