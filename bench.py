@@ -19,6 +19,10 @@ NX = int(os.environ.get("BENCH_NX", "512"))
 NP = int(os.environ.get("BENCH_NP", str(1_000_000)))
 N_SAVES = int(os.environ.get("BENCH_SAVES", "2"))
 MODEL = os.environ.get("BENCH_MODEL", "qg2")
+# Flow steps per jitted call: the axon tunnel kills device executions
+# that run for several minutes, so keep one call well under that
+# (12 RHS evals/step at 1e6 packets is ~5 s/step device time).
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "5"))
 BASELINE_PACKET_STEPS_PER_SEC = 2.1e3  # MATLAB reference, BASELINE.md
 
 
@@ -43,17 +47,18 @@ def main():
             run_coupled_chunk as run_chunk)
         cfg = Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
                      packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
+    cfg = cfg._replace(packet_steps_per_save=STEPS_PER_CALL)
     s, carry = setup(cfg)
 
-    run = jax.jit(functools.partial(run_chunk, s=s, cfg=cfg,
-                                    n_saves=N_SAVES))
+    run = jax.jit(functools.partial(run_chunk, s=s, cfg=cfg, n_saves=1))
 
-    # Warm-up: compile + one full chunk (also spreads packets off the ICs).
+    # Warm-up: compile + one call (also spreads packets off the ICs).
     carry, hist = run(carry)
     jax.block_until_ready(carry)
 
     t0 = time.perf_counter()
-    carry, hist = run(carry)
+    for _ in range(N_SAVES):
+        carry, hist = run(carry)
     jax.block_until_ready(carry)
     elapsed = time.perf_counter() - t0
 

@@ -69,7 +69,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     chunk0 = 0
     ck = latest_checkpoint(rd.path) if resume else None
     if ck is not None:
-        carry = restore_state(ck, carry0)
+        carry = restore_state(ck, carry0, to_device=True)
         chunk0 = int(ck.split("_")[-1].split(".")[0])
         log(f"resumed from {ck} at chunk {chunk0}")
 
@@ -78,9 +78,11 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
 
     if chunk0 == 0:
         # initial frames (reference writes frame 1 before the loop)
-        binio.write_field(grid.wrap_centered(np.asarray(carry.packet_x)),
+        # packet state is (2, Np) on device (TPU lane layout); files
+        # keep the reference's (Np, 2) record layout
+        binio.write_field(grid.wrap_centered(fetch(carry.packet_x).T),
                           rd.file("packet_x"), 1)
-        binio.write_field(np.asarray(carry.packet_k), rd.file("packet_k"), 1)
+        binio.write_field(fetch(carry.packet_k).T, rd.file("packet_k"), 1)
         binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
         q0 = fetch(jax.jit(fields_of_state)(carry.flow_state))
         binio.write_field(np.moveaxis(q0, 0, -1) if q0.ndim == 3 else q0,
@@ -107,9 +109,9 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
         px_np, pk_np, ts_np = fetch((px, pk, ts))
         for j in range(px_np.shape[0]):
             packet_frame += 1
-            binio.write_field(grid.wrap_centered(px_np[j]),
+            binio.write_field(grid.wrap_centered(px_np[j].T),
                               rd.file("packet_x"), packet_frame)
-            binio.write_field(pk_np[j], rd.file("packet_k"), packet_frame)
+            binio.write_field(pk_np[j].T, rd.file("packet_k"), packet_frame)
             binio.write_field(ts_np[j], rd.file("packet_time"),
                               packet_frame)
         pv_frame += 1

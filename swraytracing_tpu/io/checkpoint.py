@@ -17,6 +17,8 @@ from pathlib import Path
 import numpy as np
 import jax
 
+from ..utils.host import fetch, put
+
 __all__ = ["save_state", "restore_state", "latest_checkpoint"]
 
 
@@ -27,7 +29,7 @@ def save_state(path, state, step: int | None = None) -> str:
         path = path.with_name(f"{path.stem}_{step:012d}")
     path = path.with_suffix(".npz")
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays = {f"leaf_{i}": fetch(leaf) for i, leaf in enumerate(leaves)}
     tmp = path.with_suffix(".npz.tmp")
     with open(tmp, "wb") as fh:
         np.savez(fh, __treedef__=np.frombuffer(
@@ -36,15 +38,16 @@ def save_state(path, state, step: int | None = None) -> str:
     return str(path)
 
 
-def restore_state(path, like):
+def restore_state(path, like, to_device: bool = False):
     """Restore into the structure of pytree `like` (shapes/dtypes must
-    match what was saved)."""
+    match what was saved). `to_device=True` additionally ships the leaves
+    to the default device via `put` (safe for complex on the axon TPU)."""
     with np.load(path) as data:
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
         n = len(leaves_like)
-        leaves = [data[f"leaf_{i}"] for i in range(n)]
-    return jax.tree_util.tree_unflatten(treedef, [
-        np.asarray(leaf) for leaf in leaves])
+        leaves = [np.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    return put(tree) if to_device else tree
 
 
 def latest_checkpoint(directory, prefix: str = "ckpt") -> str | None:

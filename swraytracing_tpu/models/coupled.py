@@ -81,21 +81,23 @@ class CoupledSetup(NamedTuple):
 @struct.dataclass
 class CoupledCarry:
     flow_state: QGState
-    packet_x: jnp.ndarray        # (Np, 2)
-    packet_k: jnp.ndarray        # (Np, 2)
+    packet_x: jnp.ndarray        # (2, Np) coordinate-first (TPU lanes)
+    packet_k: jnp.ndarray        # (2, Np)
     prev_fields: jnp.ndarray     # (6, nx, ny) grid_U of previous step
 
 
 def ring_packet_ics(cfg: CoupledConfig, grid: SpectralGrid, seed=None):
     """Packet ICs (qgsw_raytrace.m:54-60): |k| on the near-inertial ring
-    sqrt((w0^2-1) f^2 / Cg^2), equally spaced angles; positions uniform."""
+    sqrt((w0^2-1) f^2 / Cg^2), equally spaced angles; positions uniform.
+    Returns x, k as (2, Np) coordinate-first arrays."""
+    from ..utils.host import put
     rng = np.random.default_rng(cfg.seed if seed is None else seed)
     i = np.arange(1, cfg.n_packets + 1)
     wf = np.sqrt((cfg.near_inertial_factor**2 - 1.0) * cfg.f**2 / cfg.Cg**2)
     k = wf * np.stack([np.cos(2 * np.pi * i / cfg.n_packets),
-                       np.sin(2 * np.pi * i / cfg.n_packets)], axis=-1)
-    x = rng.uniform(0.0, cfg.L, (cfg.n_packets, 2))
-    return jnp.asarray(x), jnp.asarray(k)
+                       np.sin(2 * np.pi * i / cfg.n_packets)], axis=0)
+    x = rng.uniform(0.0, cfg.L, (2, cfg.n_packets))
+    return put(x), put(k)
 
 
 def setup_coupled(cfg: CoupledConfig):
@@ -208,7 +210,7 @@ def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
     packet save cadence, qgsw_raytrace.m:153-163).
 
     Jit with static (s, cfg, n_saves). Returns
-    (carry, (px (n_saves,Np,2), pk (n_saves,Np,2), t (n_saves,))).
+    (carry, (px (n_saves,2,Np), pk (n_saves,2,Np), t (n_saves,))).
     """
 
     def one_save(c, _):

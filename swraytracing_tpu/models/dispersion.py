@@ -36,31 +36,31 @@ class Dispersion(NamedTuple):
         return self.Cg**2
 
     def omega(self, k):
-        """Intrinsic frequency; k: (..., 2)."""
-        K2 = jnp.sum(k * k, axis=-1)
+        """Intrinsic frequency; k: (2, ...) coordinate-first."""
+        K2 = jnp.sum(k * k, axis=0)
         return jnp.sqrt(self.f**2 + self.gH * K2)
 
     def omega_depth(self, k, H):
         """Intrinsic frequency with local depth factor H = 1 + eta_g
         (cg_sw.m:15-22)."""
-        K2 = jnp.sum(k * k, axis=-1)
+        K2 = jnp.sum(k * k, axis=0)
         return jnp.sqrt(self.f**2 + self.gH * H * K2)
 
     def group_velocity(self, k):
-        """C = Cg^2 * k / omega; k: (..., 2) -> (..., 2)."""
-        return self.gH * k / self.omega(k)[..., None]
+        """C = Cg^2 * k / omega; k: (2, ...) -> (2, ...)."""
+        return self.gH * k / self.omega(k)[None]
 
     def group_velocity_depth(self, k, H):
         gH = self.gH * H
-        K2 = jnp.sum(k * k, axis=-1)
+        K2 = jnp.sum(k * k, axis=0)
         om = jnp.sqrt(self.f**2 + gH * K2)
-        return gH[..., None] * k / om[..., None]
+        return gH[None] * k / om[None]
 
     def absolute_frequency(self, k, u):
         """Omega_abs = omega(k) + U . k, the ray invariant in steady flow
         (SW_zero_background_raytracing.m:85-132 uses its conservation as
-        the integrator-correctness metric)."""
-        return self.omega(k) + jnp.sum(u * k, axis=-1)
+        the integrator-correctness metric). k, u: (2, ...)."""
+        return self.omega(k) + jnp.sum(u * k, axis=0)
 
     def div_group_velocity(self, k, u, v, H=None):
         """div C and grad omega for geostrophically balanced depth
@@ -68,8 +68,8 @@ class Dispersion(NamedTuple):
 
         Returns (divC, domega_dx, domega_dy), each (...,).
         """
-        kk, ll = k[..., 0], k[..., 1]
-        K2 = jnp.sum(k * k, axis=-1)
+        kk, ll = k[0], k[1]
+        K2 = jnp.sum(k * k, axis=0)
         om = self.omega_depth(k, H) if H is not None else self.omega(k)
         gH = self.gH * H if H is not None else self.gH
         cx = gH * kk / om

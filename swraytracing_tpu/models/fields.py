@@ -56,15 +56,17 @@ class FlowEval(NamedTuple):
 
     @property
     def uv(self):
-        return jnp.stack([self.u, self.v], axis=-1)
+        """(2, Np) velocity — coordinate axis FIRST so the packet axis
+        stays on the TPU lane dimension (see ops/interp.py layout note)."""
+        return jnp.stack([self.u, self.v], axis=0)
 
     def refraction(self, k):
         """(grad U)^T k — the ray refraction term dk/dt = -(grad U)^T k
-        (RaytracingScheme.m:9-16)."""
-        kk, ll = k[..., 0], k[..., 1]
+        (RaytracingScheme.m:9-16). k is (2, Np) coordinate-first."""
+        kk, ll = k[0], k[1]
         return jnp.stack(
             [self.u_x * kk + self.v_x * ll, self.u_y * kk + self.v_y * ll],
-            axis=-1,
+            axis=0,
         )
 
     # Derived diagnostics (RaytracingScheme.m:18-31)

@@ -40,8 +40,8 @@ __all__ = ["FrozenResult", "raytrace_frozen", "raytrace_pv_snapshot",
 
 
 class FrozenResult(NamedTuple):
-    x: jnp.ndarray            # (nframes, Np, 2)
-    k: jnp.ndarray            # (nframes, Np, 2)
+    x: jnp.ndarray            # (nframes, 2, Np) coordinate-first
+    k: jnp.ndarray            # (nframes, 2, Np)
     t: jnp.ndarray            # (nframes,)
     omega: jnp.ndarray        # (nframes, Np) intrinsic frequency
     omega_abs0: jnp.ndarray   # (Np,) initial absolute frequency
@@ -58,14 +58,16 @@ class FrozenResult(NamedTuple):
 def ring_ics(n_packets: int, w0: float, disp: Dispersion, L=2 * np.pi,
              seed: int = 146):
     """Near-inertial ring ICs: |k| = sqrt((w0^2-1) f^2/Cg^2), equally
-    spaced angles, uniform random positions (qgsw_raytrace.m:54-60)."""
+    spaced angles, uniform random positions (qgsw_raytrace.m:54-60).
+    Returns x0, k0 as (2, Np) coordinate-first arrays."""
+    from ..utils.host import put
     rng = np.random.default_rng(seed)
     i = np.arange(1, n_packets + 1)
     kr = np.sqrt((w0**2 - 1.0) * disp.f**2 / disp.Cg**2)
     k0 = kr * np.stack([np.cos(2 * np.pi * i / n_packets),
-                        np.sin(2 * np.pi * i / n_packets)], -1)
-    x0 = rng.uniform(0.0, L, (n_packets, 2))
-    return jnp.asarray(x0), jnp.asarray(k0)
+                        np.sin(2 * np.pi * i / n_packets)], 0)
+    x0 = rng.uniform(0.0, L, (2, n_packets))
+    return put(x0), put(k0)
 
 
 def raytrace_frozen(flow, x0, k0, disp: Dispersion, dt: float, nsteps: int,
@@ -83,12 +85,12 @@ def raytrace_frozen(flow, x0, k0, disp: Dispersion, dt: float, nsteps: int,
     }[stepper]
     xs, ks, ts = rays.integrate_rays(x0, k0, dt, nsteps, step,
                                      save_every=save_every)
-    ev0 = flow.at(x0[:, 0], x0[:, 1])
+    ev0 = flow.at(x0[0], x0[1])
     om_abs0 = disp.absolute_frequency(k0, ev0.uv)
-    om = disp.omega(ks)
+    om = jax.vmap(disp.omega)(ks)  # coordinate axis is 1 in the frame stack
 
     def abs_at(x, k):
-        ev = flow.at(x[:, 0], x[:, 1])
+        ev = flow.at(x[0], x[1])
         return disp.absolute_frequency(k, ev.uv)
 
     om_abs = jax.vmap(abs_at)(xs, ks)
@@ -143,7 +145,7 @@ def raytrace_rsw_restart(u, v, h, disp: Dispersion, grid: SpectralGrid,
 
     fields, H = build(jnp.asarray(u), jnp.asarray(v), jnp.asarray(h))
     flow = GriddedFlow(fields=fields, grid=grid)
-    a0 = jnp.ones(x0.shape[0]) if a0 is None else jnp.asarray(a0)
+    a0 = jnp.ones(x0.shape[-1]) if a0 is None else jnp.asarray(a0)
 
     nframes = nsteps // save_every
 

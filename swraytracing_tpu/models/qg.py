@@ -101,10 +101,14 @@ def qg_rhs(qk, grid: SpectralGrid, p: QGParams):
 
 
 def qg_init(qk0, t0: float = 0.0) -> QGState:
-    z = jnp.zeros_like(qk0)
-    return QGState(qk=qk0, rhs_m1=z, rhs_m2=z,
-                   t=jnp.asarray(t0, jnp.real(qk0).dtype),
-                   step=jnp.asarray(0, jnp.int32))
+    # jit: eager dispatch (zeros_like) is unsupported on the axon TPU
+    def build(q):
+        z = jnp.zeros_like(q)
+        return QGState(qk=q, rhs_m1=z, rhs_m2=z,
+                       t=jnp.asarray(t0, jnp.real(q).dtype),
+                       step=jnp.asarray(0, jnp.int32))
+
+    return jax.jit(build)(qk0)
 
 
 def qg_step(state: QGState, grid: SpectralGrid, p: QGParams) -> QGState:
@@ -198,12 +202,12 @@ def initial_q_ring(key, grid: SpectralGrid, U_g: float, Kd2: float,
     qk *= grid.nyquist_mask
 
     # Normalise to max speed U_g using the induced geostrophic velocities.
-    # One jitted call (the axon TPU backend cannot dispatch ops eagerly),
-    # with the dtype cast done host-side (device-side complex128->complex64
-    # conversion is likewise unimplemented there).
-    qk = qk.astype(jax.dtypes.canonicalize_dtype(np.complex128))
+    # One jitted call (the axon TPU backend cannot dispatch ops eagerly);
+    # `put` ships the complex spectrum as (real, imag) float pairs because
+    # complex host->device transfers poison downstream buffers there.
+    from ..utils.host import put
     return jax.jit(
-        lambda q: q * (U_g / max_speed(q, grid, Kd2)))(jnp.asarray(qk))
+        lambda q: q * (U_g / max_speed(q, grid, Kd2)))(put(qk))
 
 
 def max_speed(qk, grid: SpectralGrid, Kd2, shear: float = 0.0):

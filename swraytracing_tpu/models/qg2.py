@@ -191,10 +191,14 @@ def qg2_rhs(qk, grid: SpectralGrid, ops: QG2Operators, p: QG2Params):
 
 
 def qg2_init(qk0, t0: float = 0.0) -> QG2State:
-    z = jnp.zeros_like(qk0)
-    return QG2State(qk=qk0, rhs_m1=z, rhs_m2=z,
-                    t=jnp.asarray(t0, jnp.real(qk0).dtype),
-                    step=jnp.asarray(0, jnp.int32))
+    # jit: eager dispatch (zeros_like) is unsupported on the axon TPU
+    def build(q):
+        z = jnp.zeros_like(q)
+        return QG2State(qk=q, rhs_m1=z, rhs_m2=z,
+                        t=jnp.asarray(t0, jnp.real(q).dtype),
+                        step=jnp.asarray(0, jnp.int32))
+
+    return jax.jit(build)(qk0)
 
 
 def qg2_step(state: QG2State, grid: SpectralGrid, ops: QG2Operators,

@@ -47,8 +47,8 @@ __all__ = [
 
 
 class RayState(NamedTuple):
-    x: jnp.ndarray              # (Np, 2) positions
-    k: jnp.ndarray              # (Np, 2) wavenumbers
+    x: jnp.ndarray              # (2, Np) positions, coordinate axis first
+    k: jnp.ndarray              # (2, Np) wavenumbers
     a: jnp.ndarray | None = None  # (Np,) wave action (optional)
 
 
@@ -58,8 +58,9 @@ class RayState(NamedTuple):
 
 def ray_rhs(x, k, alpha, disp: Dispersion, flow):
     """Full ray RHS (qgsw_raytrace.m:260-264):
-    dx/dt = U(x) + Cg^2 k / omega(k); dk/dt = -(grad U)^T k."""
-    ev = flow.at(x[:, 0], x[:, 1], alpha)
+    dx/dt = U(x) + Cg^2 k / omega(k); dk/dt = -(grad U)^T k.
+    x, k are (2, Np) coordinate-first (TPU lane layout; ops/interp.py)."""
+    ev = flow.at(x[0], x[1], alpha)
     dx = ev.uv + disp.group_velocity(k)
     dk = -ev.refraction(k)
     return dx, dk
@@ -77,7 +78,7 @@ def _phi1(x, k, dt, disp):
 def _phi2(x, k, dt, disp, flow, alpha):
     """Flow kick: x += dt U(x); k -= dt (grad U)^T k, both evaluated at the
     pre-kick position (ode_symplectic.m:18-21)."""
-    ev = flow.at(x[:, 0], x[:, 1], alpha)
+    ev = flow.at(x[0], x[1], alpha)
     return x + dt * ev.uv, k - dt * ev.refraction(k)
 
 
@@ -154,8 +155,8 @@ def rk4_frozen_step(x, k, dt, disp: Dispersion, flow):
     C = disp.group_velocity(k)
 
     def vel(xx):
-        u, v = flow.velocity_at(xx[:, 0], xx[:, 1])
-        return jnp.stack([u, v], axis=-1) + C
+        u, v = flow.velocity_at(xx[0], xx[1])
+        return jnp.stack([u, v], axis=0) + C
 
     x1 = dt * vel(x)
     x2 = dt * vel(x + 0.5 * x1)
@@ -163,7 +164,7 @@ def rk4_frozen_step(x, k, dt, disp: Dispersion, flow):
     x4 = dt * vel(x + x3)
     xn = x + (x1 + 2 * x2 + 2 * x3 + x4) / 6.0
 
-    ev = flow.at(x[:, 0], x[:, 1])
+    ev = flow.at(x[0], x[1])
     k1 = -dt * ev.refraction(k)
     k2 = -dt * ev.refraction(k + 0.5 * k1)
     k3 = -dt * ev.refraction(k + 0.5 * k2)
@@ -185,14 +186,14 @@ def rk4_xka_step(x, k, a, dt, disp: Dispersion, flow, H=None):
     """
     grid = flow.grid
     if H is not None:
-        H0 = interpolate(H, x[:, 0], x[:, 1], grid)
+        H0 = interpolate(H, x[0], x[1], grid)
         C = disp.group_velocity_depth(k, H0)
     else:
         C = disp.group_velocity(k)
 
     def vel(xx):
-        u, v = flow.velocity_at(xx[:, 0], xx[:, 1])
-        return jnp.stack([u, v], axis=-1) + C
+        u, v = flow.velocity_at(xx[0], xx[1])
+        return jnp.stack([u, v], axis=0) + C
 
     x1 = dt * vel(x)
     x2 = dt * vel(x + 0.5 * x1)
@@ -200,10 +201,10 @@ def rk4_xka_step(x, k, a, dt, disp: Dispersion, flow, H=None):
     x4 = dt * vel(x + x3)
     xn = x + (x1 + 2 * x2 + 2 * x3 + x4) / 6.0
 
-    ev = flow.at(xn[:, 0], xn[:, 1])
-    Hn = interpolate(H, xn[:, 0], xn[:, 1], grid) if H is not None else None
+    ev = flow.at(xn[0], xn[1])
+    Hn = interpolate(H, xn[0], xn[1], grid) if H is not None else None
     divC, domx, domy = disp.div_group_velocity(k, ev.u, ev.v, Hn)
-    gom = jnp.stack([domx, domy], axis=-1)
+    gom = jnp.stack([domx, domy], axis=0)
 
     def dk(kk):
         return -dt * (ev.refraction(kk) + gom)
@@ -233,7 +234,7 @@ def integrate_rays(x0, k0, dt, nsteps, step_fn: Callable, save_every: int = 1,
     Args:
       step_fn: (x, k, t) -> (x, k); t is the time at the step start.
     Returns:
-      (x_hist, k_hist, t_hist): (nframes, Np, 2) x2 and (nframes,), where
+      (x_hist, k_hist, t_hist): (nframes, 2, Np) x2 and (nframes,), where
       frame j is the state after (j+1)*save_every steps.
     """
     nframes = nsteps // save_every

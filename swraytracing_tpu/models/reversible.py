@@ -43,19 +43,19 @@ def _phi2_inverse(x1, k1, dt, flow, alpha=0.0):
     """Invert the flow kick: find (x, k) with x1 = x + dt U(x),
     k1 = k - dt (grad U)^T(x) k."""
     def body(_, x):
-        ev = flow.at(x[:, 0], x[:, 1], alpha)
+        ev = flow.at(x[0], x[1], alpha)
         return x1 - dt * ev.uv
 
     x = lax.fori_loop(0, _FP_ITERS, body, x1)
-    ev = flow.at(x[:, 0], x[:, 1], alpha)
+    ev = flow.at(x[0], x[1], alpha)
     # k1 = (I - dt G^T) k, G^T rows: [u_x, v_x; u_y, v_y]
     a = 1.0 - dt * ev.u_x
     b = -dt * ev.v_x
     c = -dt * ev.u_y
     d = 1.0 - dt * ev.v_y
     det = a * d - b * c
-    k = jnp.stack([(d * k1[:, 0] - b * k1[:, 1]) / det,
-                   (-c * k1[:, 0] + a * k1[:, 1]) / det], axis=-1)
+    k = jnp.stack([(d * k1[0] - b * k1[1]) / det,
+                   (-c * k1[0] + a * k1[1]) / det], axis=0)
     return x, k
 
 

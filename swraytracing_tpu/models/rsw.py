@@ -300,12 +300,13 @@ def energy(u, v, h, p: RSWParams):
 
 def advect_particles(xp, u, v, grid: SpectralGrid, dt):
     """RK4 particle advection in the gridded (u, v) — the function
-    swk.m:185 calls but the reference never defines. xp: (Np, 2)."""
+    swk.m:185 calls but the reference never defines. xp: (2, Np)
+    coordinate-first (TPU lane layout; ops/interp.py)."""
     uv = jnp.stack([u, v])
 
     def vel(x):
-        vals = interpolate_stack(uv, x[:, 0], x[:, 1], grid)
-        return jnp.stack([vals[0], vals[1]], axis=-1)
+        vals = interpolate_stack(uv, x[0], x[1], grid)
+        return jnp.stack([vals[0], vals[1]], axis=0)
 
     k1 = dt * vel(xp)
     k2 = dt * vel(xp + 0.5 * k1)

@@ -202,8 +202,10 @@ def ybj1d(A0, Bu: float, V0: float, Kv: int, dt: float, nsteps: int,
     """YBJ NIW envelope A_T + (i/2)(V_x A - Bu A_xx) = 0 (ybj1d.m),
     complex A on the full spectrum, dealiased V_x A product, RK3.
     Returns (A_frames, t_frames)."""
-    A0 = jnp.asarray(A0, jnp.complex128 if A0.dtype == np.complex128
-                     else jnp.complex64)
+    from ..utils.host import put
+    A0 = put(np.asarray(A0).astype(np.complex128
+                                   if np.asarray(A0).dtype == np.complex128
+                                   else np.complex64))
     n = A0.shape[0]
     kmax = n // 2 - 1
     kmaxbig = 3 * (kmax + 1) // 2 - 1

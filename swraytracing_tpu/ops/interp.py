@@ -8,6 +8,12 @@ is identical — order-`order` 2-D Lagrangian interpolation on a
 packets and all fields are evaluated in one batched gather + tensor
 contraction, which XLA fuses into a single TPU kernel.
 
+TPU layout: every per-packet array keeps the packet axis LAST — stencil
+indices/weights are (S, Np) and gathered values (nf, S, S, Np) — so the
+huge axis lands on the 128-lane minor dimension. The transposed layout
+((Np, S) / (nf, Np, S, S)) pads the size-6 trailing dims to 128 lanes and
+8 sublanes, inflating a 1e6-packet gather from ~0.9 GB to ~18 GB of HBM.
+
 Notes vs the reference:
   * The reference's weight formula carries a spurious (-1) sign in each
     1-D basis (denominator (j-i) instead of (i-j),
@@ -23,11 +29,9 @@ scatter-add, which XLA emits natively.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
-import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .grid import SpectralGrid
 
@@ -38,6 +42,26 @@ __all__ = [
     "interpolate",
     "interpolate_stack",
 ]
+
+# Packets per gather op. Bounds both the per-op index count (the axon
+# TPU gather compiler rejects ~1e7+ indices) and the raw gather buffer
+# XLA may materialize ((S*S*C, nf) lane-padded to 128).
+_GATHER_CHUNK = 131072
+
+
+def _gather_apply(Fflat, flat_idx, w2):
+    """Gather all nf fields per index in ONE op and reduce the stencil.
+
+    Fflat: (nf, nx*ny); flat_idx, w2: (S, S, C) -> (nf, C).
+
+    One gather of nf-element slices is ~7x faster on TPU than nf scalar
+    gathers (the gather costs ~7 ns per INDEX regardless of slice size).
+    Indices are pre-wrapped into range -> skip the gather's clamp.
+    """
+    vals = Fflat.at[:, flat_idx].get(mode="promise_in_bounds")  # (nf,S,S,C)
+    # mul+sum, not einsum/dot: a dot_general with the packet axis as
+    # batch would transpose the operand to (C*S*S, nf) (lane-padded).
+    return (vals * w2[None]).sum((1, 2))
 
 
 def _lagrange_denominators(order: int) -> np.ndarray:
@@ -60,16 +84,16 @@ def lagrange_weights(frac, order: int = 2):
         -order .. order+1 (order=2 -> 6-point, the reference's Iord=2,
         interpolate.m:12).
     Returns:
-      (..., 2*order+2) weights, summing to 1.
+      (2*order+2, ...) weights (node axis FIRST), summing to 1 over it.
     """
     offsets = np.arange(-order, order + 2)
     denom = _lagrange_denominators(order)
-    a = frac[..., None] - offsets  # (..., S): (frac - j) for each node j
+    a = frac[None] - offsets.reshape((-1,) + (1,) * frac.ndim)  # (S, ...)
     ws = []
     for idx in range(len(offsets)):
         mask = np.arange(len(offsets)) != idx
-        ws.append(jnp.prod(a[..., mask], axis=-1) / denom[idx])
-    return jnp.stack(ws, axis=-1)
+        ws.append(jnp.prod(a[mask], axis=0) / denom[idx])
+    return jnp.stack(ws, axis=0)
 
 
 def stencil_and_weights(x, y, grid: SpectralGrid, order: int = 2):
@@ -79,7 +103,7 @@ def stencil_and_weights(x, y, grid: SpectralGrid, order: int = 2):
     Args:
       x, y: (Np,) positions (any real values; periodic wrap applied).
     Returns:
-      (ix, iy, wx, wy): ix, iy int32 (Np, S) grid indices; wx, wy (Np, S).
+      (ix, iy, wx, wy): ix, iy int32 (S, Np) grid indices; wx, wy (S, Np).
     """
     offsets = np.arange(-order, order + 2)
     xl = jnp.mod(x / grid.dx, grid.nx)
@@ -90,8 +114,8 @@ def stencil_and_weights(x, y, grid: SpectralGrid, order: int = 2):
     ay = yl - j0
     wx = lagrange_weights(ax, order)
     wy = lagrange_weights(ay, order)
-    ix = jnp.mod(i0[:, None].astype(jnp.int32) + offsets, grid.nx)
-    iy = jnp.mod(j0[:, None].astype(jnp.int32) + offsets, grid.ny)
+    ix = jnp.mod(i0[None].astype(jnp.int32) + offsets[:, None], grid.nx)
+    iy = jnp.mod(j0[None].astype(jnp.int32) + offsets[:, None], grid.ny)
     return ix.astype(jnp.int32), iy.astype(jnp.int32), wx, wy
 
 
@@ -100,7 +124,7 @@ def interp_stencil_apply(F, ix, iy, wx, wy):
 
     Args:
       F: (nf, nx, ny) or (nx, ny) fields.
-      ix, iy: (Np, S) int32 indices; wx, wy: (Np, S) weights.
+      ix, iy: (S, Np) int32 indices; wx, wy: (S, Np) weights.
     Returns:
       (nf, Np) or (Np,) interpolated values.
     """
@@ -108,12 +132,28 @@ def interp_stencil_apply(F, ix, iy, wx, wy):
     if single:
         F = F[None]
     nf, nx, ny = F.shape
-    flat_idx = ix[:, :, None] * ny + iy[:, None, :]          # (Np, S, S)
-    # indices are pre-wrapped into range -> skip the gather's clamp
-    vals = F.reshape(nf, nx * ny).at[:, flat_idx].get(
-        mode="promise_in_bounds")                            # (nf,Np,S,S)
-    w2 = wx[:, :, None] * wy[:, None, :]                       # (Np, S, S)
-    out = jnp.einsum("fpij,pij->fp", vals, w2)
+    S, Np = ix.shape
+    flat_idx = ix[:, None, :] * ny + iy[None, :, :]          # (S, S, Np)
+    w2 = wx[:, None, :] * wy[None, :, :]                       # (S, S, Np)
+    Fflat = F.reshape(nf, nx * ny)
+    if Np <= _GATHER_CHUNK:
+        out = _gather_apply(Fflat, flat_idx, w2)
+    else:
+        # Chunk the packet axis: the TPU gather faults above ~1e7
+        # indices per op, and an unchunked gather at 1e6 packets lets
+        # XLA materialize the (S*S*Np, nf)-shaped raw gather output
+        # (lane-padded nf=6 -> 128: 18 GB). lax.map reuses one chunk
+        # buffer.
+        C = _GATHER_CHUNK
+        pad = (-Np) % C
+        if pad:
+            flat_idx = jnp.pad(flat_idx, ((0, 0), (0, 0), (0, pad)))
+            w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, pad)))
+        nc = (Np + pad) // C
+        fi = jnp.moveaxis(flat_idx.reshape(S, S, nc, C), 2, 0)
+        wc = jnp.moveaxis(w2.reshape(S, S, nc, C), 2, 0)
+        out = lax.map(lambda a: _gather_apply(Fflat, *a), (fi, wc))
+        out = jnp.moveaxis(out, 0, 1).reshape(nf, nc * C)[:, :Np]
     return out[0] if single else out
 
 
@@ -137,13 +177,14 @@ def interpolate_stack(F, x, y, grid: SpectralGrid, order: int = 2):
 
 def _cubic_conv_weights(frac):
     """Keys cubic-convolution (a=-1/2, MATLAB interp2 'cubic' kernel)
-    weights for nodes -1, 0, 1, 2 at fractional position frac in [0,1)."""
-    t = frac[..., None]
+    weights for nodes -1, 0, 1, 2 at fractional position frac in [0,1).
+    Returns (4, ...) with the node axis first."""
+    t = frac[None]
     w_m1 = -0.5 * t * (1 - t) ** 2
     w_0 = 1 - 2.5 * t**2 + 1.5 * t**3
     w_1 = 0.5 * t * (1 + 4 * t - 3 * t**2)
     w_2 = 0.5 * t**2 * (t - 1)
-    return jnp.concatenate([w_m1, w_0, w_1, w_2], axis=-1)
+    return jnp.concatenate([w_m1, w_0, w_1, w_2], axis=0)
 
 
 def interpolate_cubic(F, x, y, grid: SpectralGrid):
@@ -159,7 +200,7 @@ def interpolate_cubic(F, x, y, grid: SpectralGrid):
     j0 = jnp.floor(yl)
     wx = _cubic_conv_weights(xl - i0)
     wy = _cubic_conv_weights(yl - j0)
-    ix = jnp.mod(i0[:, None].astype(jnp.int32) + offsets, grid.nx)
-    iy = jnp.mod(j0[:, None].astype(jnp.int32) + offsets, grid.ny)
+    ix = jnp.mod(i0[None].astype(jnp.int32) + offsets[:, None], grid.nx)
+    iy = jnp.mod(j0[None].astype(jnp.int32) + offsets[:, None], grid.ny)
     return interp_stencil_apply(F, ix.astype(jnp.int32),
                                 iy.astype(jnp.int32), wx, wy)

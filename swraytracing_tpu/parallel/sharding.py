@@ -48,12 +48,16 @@ def make_mesh(devices: Sequence | None = None,
     return Mesh(arr, axis_names)
 
 
-def packet_sharding(mesh: Mesh, batched: bool = False) -> NamedSharding:
-    """Sharding for packet arrays: (Np, ...) over the packets axis, or
-    (E, Np, ...) over (ensemble, packets) when batched."""
+def packet_sharding(mesh: Mesh, batched: bool = False,
+                    ndim: int = 2) -> NamedSharding:
+    """Sharding for packet arrays. The packet axis is LAST (coordinate-
+    first (2, Np) layout; see ops/interp.py): (..., Np) shards over the
+    packets axis, or (E, ..., Np) over (ensemble, packets) when batched."""
     if batched:
-        return NamedSharding(mesh, P("ensemble", "packets"))
-    return NamedSharding(mesh, P(("ensemble", "packets")))
+        return NamedSharding(
+            mesh, P("ensemble", *[None] * (ndim - 2), "packets"))
+    return NamedSharding(
+        mesh, P(*[None] * (ndim - 1), ("ensemble", "packets")))
 
 
 def ensemble_sharding(mesh: Mesh) -> NamedSharding:
@@ -68,7 +72,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_packets(mesh: Mesh, *arrays, batched: bool = False):
-    """device_put packet arrays with the packet sharding."""
-    s = packet_sharding(mesh, batched)
-    out = tuple(jax.device_put(a, s) for a in arrays)
+    """device_put packet arrays with the packet sharding (last axis =
+    packets; works for (2, Np), (Np,), and batched (E, ..., Np))."""
+    out = tuple(
+        jax.device_put(a, packet_sharding(mesh, batched, ndim=a.ndim))
+        for a in arrays)
     return out if len(out) > 1 else out[0]

@@ -1,37 +1,72 @@
-"""Device→host fetch that tolerates the axon TPU backend.
+"""Host↔device transfer helpers that tolerate the axon TPU backend.
 
-On the axon tunnel backend, output buffers of executables that had
-COMPLEX inputs cannot be copied to the host (UNIMPLEMENTED), although
-they are perfectly usable device-side. `fetch` launders values through a
-trivial identity executable (whose own inputs are the suspect buffers,
-consumed device-to-device — which works) and transfers that executable's
-fresh output buffers instead. On healthy backends this is a no-op jit
-add of ~zero cost relative to any transfer.
+On the axon tunnel backend, complex-dtype buffers cannot cross the
+host↔device boundary in either direction (UNIMPLEMENTED), a complex
+array transferred host→device poisons every buffer computed from it
+(even real-dtype descendants become untransferable), and one *failed*
+transfer attempt poisons the whole client — every subsequent dispatch
+raises. So these helpers are proactive, never try/except:
+
+- `put` splits complex host arrays into (real, imag) float pairs, ships
+  the floats, and recombines on device inside a jitted executable (whose
+  inputs are real, so nothing downstream is poisoned). Dtypes are
+  canonicalised host-side because device-side conversion of transfers is
+  also unimplemented there.
+- `fetch` splits complex device arrays into (real, imag) device-side via
+  a jitted executable and transfers the float halves.
+
+On healthy backends both are cheap no-ops relative to the transfer.
 """
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-__all__ = ["fetch", "fetch_float"]
+__all__ = ["put", "fetch", "fetch_float"]
 
 
-@functools.partial(jax.jit)
-def _identity(tree):
-    return jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), tree)
+@jax.jit
+def _combine(re, im):
+    return lax.complex(re, im)
+
+
+@jax.jit
+def _split(x):
+    return jnp.real(x), jnp.imag(x)
+
+
+def _canon(dtype):
+    return jax.dtypes.canonicalize_dtype(dtype)
+
+
+def put(tree):
+    """device_put a pytree, never transferring complex buffers."""
+
+    def one(x):
+        x = np.asarray(x)
+        if np.iscomplexobj(x):
+            fdt = _canon(x.real.dtype)
+            return _combine(np.ascontiguousarray(x.real, dtype=fdt),
+                            np.ascontiguousarray(x.imag, dtype=fdt))
+        return jax.device_put(np.asarray(x, dtype=_canon(x.dtype)))
+
+    return jax.tree.map(one, tree)
 
 
 def fetch(tree):
-    """Copy a pytree of device arrays to host numpy, robustly."""
-    try:
-        return jax.tree.map(np.asarray, tree)
-    except Exception:
-        return jax.tree.map(np.asarray, jax.block_until_ready(
-            _identity(tree)))
+    """Copy a pytree of device arrays to host numpy, never transferring
+    complex buffers."""
+
+    def one(x):
+        if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+            re, im = _split(x)
+            return np.asarray(re) + 1j * np.asarray(im)
+        return np.asarray(x)
+
+    return jax.tree.map(one, tree)
 
 
 def fetch_float(x) -> float:

@@ -17,13 +17,13 @@ from swraytracing_tpu.ops.nufft import eval_spectrum_at, eval_spectrum_and_grad_
 def test_weights_partition_of_unity():
     fr = jnp.linspace(0.0, 0.999, 37)
     w = lagrange_weights(fr, order=2)
-    assert w.shape == (37, 6)
-    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-12)
+    assert w.shape == (6, 37)  # node axis first (TPU lane layout)
+    np.testing.assert_allclose(np.asarray(w.sum(0)), 1.0, atol=1e-12)
 
 
 def test_weights_nodal():
     """At frac=0 the weight must be 1 on the left node, 0 elsewhere."""
-    w = np.asarray(lagrange_weights(jnp.array([0.0]), order=2))[0]
+    w = np.asarray(lagrange_weights(jnp.array([0.0]), order=2))[:, 0]
     expected = np.zeros(6)
     expected[2] = 1.0  # node offset 0 is index 2 in offsets -2..3
     np.testing.assert_allclose(w, expected, atol=1e-12)

@@ -20,9 +20,9 @@ def _setup(n=64, n_packets=100, seed=0):
     psi = 0.1 * (np.sin(X) * np.sin(Y) + 0.25 * np.cos(X) * np.cos(Y))
     fields = flow_from_psi_grid(jnp.asarray(psi), grid).fields
     rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (n_packets, 2)))
+    x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (2, n_packets)))
     ang = 2 * np.pi * np.arange(n_packets) / n_packets
-    k0 = jnp.asarray(8.0 * np.stack([np.cos(ang), np.sin(ang)], -1))
+    k0 = jnp.asarray(8.0 * np.stack([np.cos(ang), np.sin(ang)], 0))
     return grid, fields, x0, k0
 
 
@@ -44,7 +44,7 @@ def test_pallas_march_pads_ragged_blocks():
     xr, kr = march_rays_reference(fields, x0, k0, grid, DISP, dt, nsteps)
     xp, kp = march_rays_pallas(fields, x0, k0, grid, DISP, dt, nsteps,
                                block=32, interpret=True)
-    assert xp.shape == (70, 2)
+    assert xp.shape == (2, 70)
     np.testing.assert_allclose(np.asarray(xp), np.asarray(xr), atol=1e-10)
 
 
@@ -55,8 +55,8 @@ def test_pallas_march_conserves_absolute_frequency():
     from swraytracing_tpu.models.fields import GriddedFlow
 
     flow = GriddedFlow(fields=fields, grid=grid)
-    ev0 = flow.at(x0[:, 0], x0[:, 1])
-    evN = flow.at(xp[:, 0], xp[:, 1])
+    ev0 = flow.at(x0[0], x0[1])
+    evN = flow.at(xp[0], xp[1])
     Om0 = DISP.absolute_frequency(k0, ev0.uv)
     OmN = DISP.absolute_frequency(kp, evN.uv)
     err = float(jnp.max(jnp.abs((OmN - Om0) / Om0)))

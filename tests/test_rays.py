@@ -18,28 +18,31 @@ DISP = Dispersion(f=3.0, Cg=1.0)
 
 
 def ring_ics(np_, ki, seed=0, L=2 * np.pi):
+    # packet arrays are coordinate-first (2, Np) — TPU lane layout
     rng = np.random.default_rng(seed)
     ang = 2 * np.pi * np.arange(np_) / np_
-    x0 = jnp.asarray(rng.uniform(0, L, (np_, 2)))
-    k0 = jnp.asarray(ki * np.stack([np.cos(ang), np.sin(ang)], -1))
+    x0 = jnp.asarray(rng.uniform(0, L, (2, np_)))
+    k0 = jnp.asarray(ki * np.stack([np.cos(ang), np.sin(ang)], 0))
     return x0, k0
 
 
 def omega_abs(flow, disp, x, k):
-    ev = flow.at(x[:, 0], x[:, 1])
+    ev = flow.at(x[0], x[1])
     return disp.absolute_frequency(k, ev.uv)
 
 
 def test_dispersion_identities():
-    k = jnp.asarray([[3.0, 4.0]])
+    k = jnp.asarray([[3.0], [4.0]])
     om = DISP.omega(k)
     np.testing.assert_allclose(np.asarray(om), np.sqrt(9.0 + 25.0))
     cg = DISP.group_velocity(k)
-    np.testing.assert_allclose(np.asarray(cg)[0],
+    np.testing.assert_allclose(np.asarray(cg)[:, 0],
                                np.array([3.0, 4.0]) / float(om[0]))
     # group velocity = d omega / dk (autodiff cross-check)
-    g = jax.grad(lambda kk: DISP.omega(kk[None])[0])(jnp.asarray([3.0, 4.0]))
-    np.testing.assert_allclose(np.asarray(g), np.asarray(cg)[0], rtol=1e-12)
+    g = jax.grad(lambda kk: DISP.omega(kk[:, None])[0])(
+        jnp.asarray([3.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(cg)[:, 0],
+                               rtol=1e-12)
 
 
 def test_zero_background_straight_rays():
@@ -106,13 +109,13 @@ def test_cellular_flow_closed_orbits():
     rsw/testparticles.m check. The streamfunction value is conserved."""
     flow = analytic.cellular(A=1.0)
     rng = np.random.default_rng(1)
-    x0 = jnp.asarray(rng.uniform(0.5, 2.5, (32, 2)))
-    k0 = jnp.zeros((32, 2))
+    x0 = jnp.asarray(rng.uniform(0.5, 2.5, (2, 32)))
+    k0 = jnp.zeros((2, 32))
     dt = 0.01
     step = lambda x, k, t: rays.rk4_step(x, k, dt, DISP, flow)
     xs, ks, _ = rays.integrate_rays(x0, k0, dt, 500, step, save_every=500)
-    psi0 = flow.streamfunction(x0[:, 0], x0[:, 1])
-    psiT = flow.streamfunction(xs[-1][:, 0], xs[-1][:, 1])
+    psi0 = flow.streamfunction(x0[0], x0[1])
+    psiT = flow.streamfunction(xs[-1][0], xs[-1][1])
     np.testing.assert_allclose(np.asarray(psiT), np.asarray(psi0), atol=1e-7)
     np.testing.assert_allclose(np.asarray(ks[-1]), 0.0, atol=1e-14)
 
@@ -155,7 +158,7 @@ def test_action_conserved_in_uniform_flow():
     np.testing.assert_allclose(np.asarray(k), np.asarray(k0), atol=1e-10)
     C = DISP.group_velocity(k0)
     om = DISP.omega(k0)
-    divC = -(C[:, 0] ** 2 + C[:, 1] ** 2) / om
+    divC = -(C[0] ** 2 + C[1] ** 2) / om
     expect = np.exp(-np.asarray(divC) * 0.2)
     np.testing.assert_allclose(np.asarray(a), expect, rtol=1e-6)
 

@@ -17,8 +17,8 @@ DISP = Dispersion(f=3.0, Cg=1.0)
 def _ics(n=8, ki=8.0, seed=0):
     rng = np.random.default_rng(seed)
     ang = 2 * np.pi * np.arange(n) / n
-    x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (n, 2)))
-    k0 = jnp.asarray(ki * np.stack([np.cos(ang), np.sin(ang)], -1))
+    x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (2, n)))
+    k0 = jnp.asarray(ki * np.stack([np.cos(ang), np.sin(ang)], 0))
     return x0, k0
 
 

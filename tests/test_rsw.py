@@ -135,14 +135,14 @@ def test_particle_advection_cellular():
     psi = np.cos(X) * np.cos(Y)
     u = np.sin(Y) * np.cos(X)   # -psi_y
     v = -np.sin(X) * np.cos(Y)  # psi_x
-    xp = jnp.asarray(np.random.default_rng(1).uniform(0.5, 2.5, (16, 2)))
+    xp = jnp.asarray(np.random.default_rng(1).uniform(0.5, 2.5, (2, 16)))
     uj, vj = jnp.asarray(u), jnp.asarray(v)
     step = jax.jit(lambda x: rsw.advect_particles(x, uj, vj, grid, 0.02))
     x = xp
     for _ in range(200):
         x = step(x)
-    psi0 = np.cos(np.asarray(xp[:, 0])) * np.cos(np.asarray(xp[:, 1]))
-    psiT = np.cos(np.asarray(x[:, 0])) * np.cos(np.asarray(x[:, 1]))
+    psi0 = np.cos(np.asarray(xp[0])) * np.cos(np.asarray(xp[1]))
+    psiT = np.cos(np.asarray(x[0])) * np.cos(np.asarray(x[1]))
     np.testing.assert_allclose(psiT, psi0, atol=1e-5)
 
 
