@@ -192,3 +192,35 @@ def test_cubic_interpolation_accuracy():
     errl = np.abs(np.asarray(interpolate(F, x, y, grid)) - exact).max()
     assert errc < 1e-3
     assert errl < errc  # 6-point Lagrangian beats bicubic
+
+
+def test_chunked_gather_matches_unchunked(monkeypatch):
+    """The large-Np chunked gather path (ops.interp._GATHER_CHUNK) must be
+    numerically identical to the single-gather path, including through
+    padding of a non-multiple packet count, and differentiable."""
+    import jax
+    from swraytracing_tpu.ops import interp as interp_mod
+
+    grid = SpectralGrid.square(32)
+    X, Y = grid.meshgrid()
+    F = jnp.stack([jnp.asarray(np.cos(X) * np.sin(2 * Y)),
+                   jnp.asarray(np.sin(X + Y))])
+    rng = np.random.default_rng(3)
+    n = 1000  # not a multiple of the patched chunk
+    xp = jnp.asarray(rng.uniform(0, 2 * np.pi, n))
+    yp = jnp.asarray(rng.uniform(0, 2 * np.pi, n))
+
+    big = interpolate_stack(F, xp, yp, grid)
+    monkeypatch.setattr(interp_mod, "_GATHER_CHUNK", 128)
+    chunked = interpolate_stack(F, xp, yp, grid)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(big),
+                               rtol=1e-12, atol=1e-12)
+
+    def loss(f):
+        return jnp.sum(interpolate_stack(f, xp, yp, grid) ** 2)
+
+    g = jax.grad(loss)(F)
+    monkeypatch.undo()
+    g0 = jax.grad(loss)(F)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                               rtol=1e-11, atol=1e-12)
