@@ -204,18 +204,28 @@ def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
 
 
 def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
-                      cfg: CoupledConfig, n_saves: int):
+                      cfg: CoupledConfig, n_saves: int,
+                      remat: bool = False):
     """Advance n_saves * packet_steps_per_save flow steps, emitting a
     packet snapshot every packet_steps_per_save steps (the reference's
     packet save cadence, qgsw_raytrace.m:153-163).
 
     Jit with static (s, cfg, n_saves). Returns
     (carry, (px (n_saves,2,Np), pk (n_saves,2,Np), t (n_saves,))).
+
+    remat=True rematerialises each lock-step iteration in reverse-mode
+    AD: gradient memory drops from O(total steps * full intermediate
+    set) to O(total steps * carry) — the standard trade for
+    differentiating long coupled runs (SURVEY.md section 5, long-
+    sequence axis). Forward-only runs should leave it off.
     """
+    step = lambda cc: coupled_flow_packet_step(cc, s, cfg)
+    if remat:
+        step = jax.checkpoint(step)
 
     def one_save(c, _):
         def body(i, cc):
-            return coupled_flow_packet_step(cc, s, cfg)
+            return step(cc)
 
         c = lax.fori_loop(0, cfg.packet_steps_per_save, body, c)
         return c, (c.packet_x, c.packet_k, c.flow_state.t)

@@ -124,14 +124,19 @@ def coupled2_flow_packet_step(carry: CoupledCarry, s: Coupled2Setup,
 
 
 def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
-                       cfg: Coupled2Config, n_saves: int):
+                       cfg: Coupled2Config, n_saves: int,
+                       remat: bool = False):
     """Advance n_saves * packet_steps_per_save flow steps, emitting a
-    packet snapshot per save (qg2layersw_raytrace.m:199-209 cadence)."""
+    packet snapshot per save (qg2layersw_raytrace.m:199-209 cadence).
+    remat=True rematerialises each lock-step in reverse-mode AD (see
+    run_coupled_chunk)."""
+    step = lambda cc: coupled2_flow_packet_step(cc, s, cfg)
+    if remat:
+        step = jax.checkpoint(step)
 
     def one_save(c, _):
         c = lax.fori_loop(0, cfg.packet_steps_per_save,
-                          lambda i, cc: coupled2_flow_packet_step(cc, s, cfg),
-                          c)
+                          lambda i, cc: step(cc), c)
         return c, (c.packet_x, c.packet_k, c.flow_state.t)
 
     return lax.scan(one_save, carry, None, length=n_saves)

@@ -35,19 +35,23 @@ def initialize(coordinator: str | None = None, num_processes: int | None
     jax.distributed.initialize(**kwargs)
 
 
-def global_packet_array(local_np_array, mesh: Mesh,
-                        spec: P = P(("ensemble", "packets"))):
+def global_packet_array(local_np_array, mesh: Mesh, spec: P | None = None):
     """Assemble per-host packet blocks into one global sharded array
     (jax.make_array_from_process_local_data): each host contributes its
-    local packets; the global leading dimension is the sum."""
+    local packets. Packet arrays are coordinate-first (2, Np_local), so
+    the sharded packet axis is the LAST one by default."""
+    if spec is None:
+        ndim = np.asarray(local_np_array).ndim
+        spec = P(*[None] * (ndim - 1), ("ensemble", "packets"))
     sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_process_local_data(sharding,
                                                   np.asarray(local_np_array))
 
 
-def host_local_slice(global_array):
+def host_local_slice(global_array, axis: int = -1):
     """The addressable (this-host) shards of a global array, concatenated
-    — for host-side I/O of packet frames (each host writes its own
-    slice; frame-addressed binio supports disjoint writes)."""
+    along the packet axis (last, coordinate-first layout) — for host-side
+    I/O of packet frames (each host writes its own slice; frame-addressed
+    binio supports disjoint writes)."""
     shards = [np.asarray(s.data) for s in global_array.addressable_shards]
-    return np.concatenate(shards, axis=0) if shards else np.empty((0,))
+    return np.concatenate(shards, axis=axis) if shards else np.empty((0,))

@@ -96,3 +96,24 @@ def test_ensemble_freezes_past_T():
     assert float(tsb[0][-1]) == 0.0
     # member 1 advanced
     assert float(tsb[1][-1]) > 0.0
+
+
+def test_remat_gradient_matches_plain():
+    """run_coupled_chunk(remat=True) must give identical gradients to the
+    plain path (jax.checkpoint changes memory, not math)."""
+    import jax.numpy as jnp
+
+    cfg = CoupledConfig(nx=32, n_packets=16, T_Fr_days=5.0,
+                        packet_delay_days=0.05)
+    s, carry = setup_coupled(cfg)
+
+    def loss(qk, remat):
+        c = carry.replace(flow_state=carry.flow_state.replace(qk=qk))
+        c2, _ = run_coupled_chunk(c, s, cfg, 2, remat=remat)
+        return jnp.mean(jnp.abs(c2.packet_k) ** 2)
+
+    qk0 = carry.flow_state.qk
+    g_plain = jax.grad(lambda q: loss(q, False))(qk0)
+    g_remat = jax.grad(lambda q: loss(q, True))(qk0)
+    np.testing.assert_allclose(np.asarray(g_remat), np.asarray(g_plain),
+                               rtol=1e-10, atol=1e-12)
