@@ -117,3 +117,17 @@ def test_remat_gradient_matches_plain():
     g_remat = jax.grad(lambda q: loss(q, True))(qk0)
     np.testing.assert_allclose(np.asarray(g_remat), np.asarray(g_plain),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_multihost_helpers_roundtrip():
+    """global_packet_array / host_local_slice on the virtual mesh (single
+    process): global assembly + addressable-shard concatenation must
+    round-trip the coordinate-first (2, Np) packet block."""
+    from swraytracing_tpu.parallel import multihost as mh
+
+    mesh = shd.make_mesh(jax.devices())
+    x = np.arange(2 * 64, dtype=np.float32).reshape(2, 64)
+    g = mh.global_packet_array(x, mesh)
+    assert g.shape == (2, 64)
+    back = mh.host_local_slice(g)
+    np.testing.assert_array_equal(back, x)
