@@ -28,7 +28,8 @@ from flax import struct
 
 from ..ops.grid import SpectralGrid
 from ..ops import spectral as sp
-from ..ops.interp import stencil_and_weights, interp_stencil_apply
+from ..ops.interp import (stencil_and_weights, interp_stencil_apply,
+                          build_windows, interp_windowed, _WINDOW_MIN_NP)
 
 __all__ = [
     "FlowEval",
@@ -93,8 +94,19 @@ class GriddedFlow:
     fields: jnp.ndarray  # (6, nx, ny) stacked [u, v, ux, uy, vx, vy]
     grid: SpectralGrid = struct.field(pytree_node=False)
     order: int = struct.field(pytree_node=False, default=2)
+    win: jnp.ndarray | None = None  # optional prebuilt windows (TPU path)
+
+    def windowed(self) -> "GriddedFlow":
+        """Return a copy with the interpolation windows prebuilt (one
+        take-style gather index per packet instead of 36 point gathers —
+        see ops/interp.build_windows). Worth it above ~64k packets."""
+        return self.replace(win=build_windows(self.fields, self.order))
 
     def at(self, x, y, alpha=0.0) -> FlowEval:
+        if self.win is not None:
+            vals = interp_windowed(self.win, self.fields.shape[0], x, y,
+                                   self.grid, self.order)
+            return FlowEval(*vals)
         ix, iy, wx, wy = stencil_and_weights(x, y, self.grid, self.order)
         vals = interp_stencil_apply(self.fields, ix, iy, wx, wy)
         return FlowEval(*vals)
@@ -115,14 +127,29 @@ class BlendedFlow:
     fields2: jnp.ndarray  # (6, nx, ny) at step end
     grid: SpectralGrid = struct.field(pytree_node=False)
     order: int = struct.field(pytree_node=False, default=2)
+    win1: jnp.ndarray | None = None  # optional prebuilt windows
+    win2: jnp.ndarray | None = None
+
+    def windowed(self) -> "BlendedFlow":
+        """Prebuild interpolation windows for both snapshots (once per
+        flow step); each eval then blends the window arrays — O(nx*ny)
+        bandwidth, noise next to the gather — and does ONE take-style
+        gather per packet (ops/interp.build_windows)."""
+        return self.replace(win1=build_windows(self.fields1, self.order),
+                            win2=build_windows(self.fields2, self.order))
 
     def at(self, x, y, alpha) -> FlowEval:
-        ix, iy, wx, wy = stencil_and_weights(x, y, self.grid, self.order)
         # Blend the GRIDS first, then gather 6 fields: interpolation is
         # linear so this equals blending the 12 gathered values
         # (interpolate_U.m:19-23), at half the gather traffic — the
         # gather is the hot path at 1e6 packets, the O(nx*ny) blend is
         # noise next to it.
+        if self.win1 is not None:
+            w = (1.0 - alpha) * self.win1 + alpha * self.win2
+            vals = interp_windowed(w, self.fields1.shape[0], x, y,
+                                   self.grid, self.order)
+            return FlowEval(*vals)
+        ix, iy, wx, wy = stencil_and_weights(x, y, self.grid, self.order)
         blended = (1.0 - alpha) * self.fields1 + alpha * self.fields2
         vals = interp_stencil_apply(blended, ix, iy, wx, wy)  # (6, Np)
         return FlowEval(*vals)

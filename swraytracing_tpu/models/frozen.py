@@ -75,6 +75,12 @@ def raytrace_frozen(flow, x0, k0, disp: Dispersion, dt: float, nsteps: int,
                     ) -> FrozenResult:
     """Integrate packets through a steady flow and collect the
     conservation diagnostics."""
+    from ..ops.interp import _WINDOW_MIN_NP
+    if (isinstance(flow, GriddedFlow) and flow.win is None
+            and x0.shape[-1] >= _WINDOW_MIN_NP):
+        # Frozen flow: the window build amortizes over the entire run
+        # (one take-style gather index per packet per eval; 8.5x on TPU).
+        flow = flow.windowed()
     step = {
         "symplectic": lambda x, k, t: rays.symplectic_step(
             x, k, dt, disp, flow),

@@ -38,15 +38,24 @@ from .grid import SpectralGrid
 __all__ = [
     "lagrange_weights",
     "stencil_and_weights",
+    "cell_and_weights",
     "interp_stencil_apply",
     "interpolate",
     "interpolate_stack",
+    "build_windows",
+    "interp_windowed",
 ]
 
 # Packets per gather op. Bounds both the per-op index count (the axon
 # TPU gather compiler rejects ~1e7+ indices) and the raw gather buffer
 # XLA may materialize ((S*S*C, nf) lane-padded to 128).
 _GATHER_CHUNK = 131072
+
+# Minimum packet count for the windowed gather path (build_windows /
+# interp_windowed below): the (nx*ny, S*S*nf) window build costs ~27 ms
+# at 512^2 on a v5e plus a (S*S)x field-memory footprint, and only pays
+# off once the per-eval gather dominates.
+_WINDOW_MIN_NP = 65536
 
 
 def _gather_apply(Fflat, flat_idx, w2):
@@ -117,6 +126,92 @@ def stencil_and_weights(x, y, grid: SpectralGrid, order: int = 2):
     ix = jnp.mod(i0[None].astype(jnp.int32) + offsets[:, None], grid.nx)
     iy = jnp.mod(j0[None].astype(jnp.int32) + offsets[:, None], grid.ny)
     return ix.astype(jnp.int32), iy.astype(jnp.int32), wx, wy
+
+
+def cell_and_weights(x, y, grid: SpectralGrid, order: int = 2):
+    """Cell indices and separable weights only — the windowed gather path
+    needs one (i0, j0) per packet, not the (S, Np) per-node index arrays.
+
+    Returns:
+      (i0, j0, wx, wy): i0, j0 int32 (Np,) cell indices in [0, n);
+      wx, wy (S, Np) Lagrange weights.
+    """
+    xl = jnp.mod(x / grid.dx, grid.nx)
+    yl = jnp.mod(y / grid.dy, grid.ny)
+    i0 = jnp.floor(xl)
+    j0 = jnp.floor(yl)
+    wx = lagrange_weights(xl - i0, order)
+    wy = lagrange_weights(yl - j0, order)
+    # floor of mod can still hit n exactly from float rounding at the
+    # right edge; fold it back.
+    i0 = jnp.mod(i0.astype(jnp.int32), grid.nx)
+    j0 = jnp.mod(j0.astype(jnp.int32), grid.ny)
+    return i0, j0, wx, wy
+
+
+def build_windows(F, order: int = 2):
+    """Materialize the full (S x S, nf) interpolation window of every grid
+    cell: returns W of shape (nx*ny, S*S*nf) where row (i*ny + j) holds
+    F[:, i-order:i+order+2, j-order:j+order+2] (periodic) laid out as
+    (sx, sy, f).
+
+    Why: on the axon TPU the only fast gather is 'take'-style (size-1 on
+    the indexed axis, all other axes fetched whole) at ~12 ns per INDEX
+    regardless of row width; generic sliced gathers run ~20x slower per
+    fetched row. Pre-building windows turns the 36-indices-per-packet
+    stencil gather (interpolate.m's 6x6 loop) into ONE index per packet —
+    measured 8.5x faster at 1e6 packets on 512^2 (437 ms -> 52 ms), for a
+    ~27 ms once-per-snapshot build. The memory cost is (S*S)x the field
+    stack (226 MB at 512^2, nf=6, f32).
+    """
+    if F.ndim == 2:
+        F = F[None]
+    nf, nx, ny = F.shape
+    S = 2 * order + 2
+    Fp = jnp.concatenate([F[:, :, ny - order:], F, F[:, :, :order + 2]],
+                         axis=2)
+    Fp = jnp.concatenate([Fp[:, nx - order:], Fp, Fp[:, :order + 2]],
+                         axis=1)                     # (nf, nx+S-1+1, ny+...)
+    rows = []
+    for sx in range(S):
+        cols = [Fp[:, sx:sx + nx, sy:sy + ny] for sy in range(S)]
+        rows.append(jnp.stack(cols, axis=0))         # (Sy, nf, nx, ny)
+    W = jnp.stack(rows, axis=0)                       # (Sx, Sy, nf, nx, ny)
+    W = jnp.transpose(W, (3, 4, 0, 1, 2))             # (nx, ny, Sx, Sy, nf)
+    return W.reshape(nx * ny, S * S * nf)
+
+
+def _window_apply(W, nf, starts, wx, wy):
+    """One chunk of the windowed gather: starts (C,), wx/wy (S, C)."""
+    S, C = wx.shape
+    g = W.at[starts].get(mode="promise_in_bounds")    # (C, S*S*nf)
+    g = g.reshape(C, S, S, nf)
+    return jnp.einsum("cxyf,xc,yc->fc", g, wx, wy)
+
+
+def interp_windowed(W, nf, x, y, grid: SpectralGrid, order: int = 2):
+    """Interpolate nf stacked fields from a prebuilt window array W
+    (see build_windows) at packet positions. Exactly the same arithmetic
+    as interpolate_stack — one take-style gather per packet instead of
+    S*S point gathers."""
+    i0, j0, wx, wy = cell_and_weights(x, y, grid, order)
+    starts = i0 * grid.ny + j0                         # (Np,)
+    Np = starts.shape[0]
+    S = 2 * order + 2
+    if Np <= _GATHER_CHUNK:
+        return _window_apply(W, nf, starts, wx, wy)
+    C = _GATHER_CHUNK
+    pad = (-Np) % C
+    if pad:
+        starts = jnp.pad(starts, (0, pad))
+        wx = jnp.pad(wx, ((0, 0), (0, pad)))
+        wy = jnp.pad(wy, ((0, 0), (0, pad)))
+    nc = (Np + pad) // C
+    st = jnp.moveaxis(starts.reshape(nc, C), 0, 0)
+    wxc = jnp.moveaxis(wx.reshape(S, nc, C), 1, 0)
+    wyc = jnp.moveaxis(wy.reshape(S, nc, C), 1, 0)
+    out = lax.map(lambda a: _window_apply(W, nf, *a), (st, wxc, wyc))
+    return jnp.moveaxis(out, 0, 1).reshape(nf, nc * C)[:, :Np]
 
 
 def interp_stencil_apply(F, ix, iy, wx, wy):

@@ -224,3 +224,72 @@ def test_chunked_gather_matches_unchunked(monkeypatch):
     g0 = jax.grad(loss)(F)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
                                rtol=1e-11, atol=1e-12)
+
+
+def test_windowed_matches_stencil(monkeypatch):
+    """The windowed gather path (build_windows + interp_windowed — one
+    take-style index per packet) must match the 36-point stencil path,
+    including through the chunked branch and padding, and stay
+    differentiable w.r.t. the field."""
+    from swraytracing_tpu.ops import interp as interp_mod
+    from swraytracing_tpu.ops.interp import build_windows, interp_windowed
+
+    grid = SpectralGrid.square(32)
+    X, Y = grid.meshgrid()
+    F = jnp.stack([jnp.asarray(np.cos(X) * np.sin(2 * Y)),
+                   jnp.asarray(np.sin(X + Y)),
+                   jnp.asarray(np.cos(3 * X))])
+    rng = np.random.default_rng(7)
+    n = 999  # not a multiple of the patched chunk
+    xp = jnp.asarray(rng.uniform(-5.0, 15.0, n))  # exercises periodic wrap
+    yp = jnp.asarray(rng.uniform(-5.0, 15.0, n))
+
+    ref = interpolate_stack(F, xp, yp, grid)
+    W = build_windows(F)
+    got = interp_windowed(W, 3, xp, yp, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+    monkeypatch.setattr(interp_mod, "_GATHER_CHUNK", 128)
+    got_chunked = interp_windowed(W, 3, xp, yp, grid)
+    np.testing.assert_allclose(np.asarray(got_chunked), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+    def loss_windowed(f):
+        return jnp.sum(interp_windowed(build_windows(f), 3, xp, yp,
+                                       grid) ** 2)
+
+    def loss_stencil(f):
+        return jnp.sum(interpolate_stack(f, xp, yp, grid) ** 2)
+
+    gw = jax.grad(loss_windowed)(F)
+    gs = jax.grad(loss_stencil)(F)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gs),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_windowed_flow_classes_match():
+    """GriddedFlow.windowed() / BlendedFlow.windowed() evaluate exactly
+    like their stencil-path counterparts."""
+    from swraytracing_tpu.models.fields import GriddedFlow, BlendedFlow
+
+    grid = SpectralGrid.square(32)
+    X, Y = grid.meshgrid()
+    rng = np.random.default_rng(11)
+    f1 = jnp.asarray(rng.standard_normal((6, 32, 32)))
+    f2 = jnp.asarray(rng.standard_normal((6, 32, 32)))
+    xp = jnp.asarray(rng.uniform(0, 2 * np.pi, 200))
+    yp = jnp.asarray(rng.uniform(0, 2 * np.pi, 200))
+
+    g = GriddedFlow(fields=f1, grid=grid)
+    ev_a = g.at(xp, yp)
+    ev_b = g.windowed().at(xp, yp)
+    np.testing.assert_allclose(np.asarray(ev_b.uv), np.asarray(ev_a.uv),
+                               rtol=1e-12, atol=1e-12)
+
+    b = BlendedFlow(fields1=f1, fields2=f2, grid=grid)
+    ev_a = b.at(xp, yp, 0.3)
+    ev_b = b.windowed().at(xp, yp, 0.3)
+    for va, vb in zip(ev_a, ev_b):
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                   rtol=1e-12, atol=1e-12)

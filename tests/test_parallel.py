@@ -131,3 +131,38 @@ def test_multihost_helpers_roundtrip():
     assert g.shape == (2, 64)
     back = mh.host_local_slice(g)
     np.testing.assert_array_equal(back, x)
+
+
+def test_windowed_coupled_matches_and_shards(monkeypatch):
+    """The windowed interpolation path (engaged above _WINDOW_MIN_NP
+    packets) gives the same coupled trajectory as the stencil path, on
+    one device and sharded over 8 packet shards."""
+    from swraytracing_tpu.ops import interp as interp_mod
+
+    cfg = CoupledConfig(nx=32, n_packets=64, T_Fr_days=10.0,
+                        packet_delay_days=0.1)
+    s, carry = setup_coupled(cfg)
+    run = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
+                                    n_saves=3))
+    c1, (px1, pk1, _) = run(carry)
+
+    # force the windowed path for this tiny packet count
+    monkeypatch.setattr(interp_mod, "_WINDOW_MIN_NP", 1)
+    run_w = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
+                                      n_saves=3))
+    cw, (pxw, pkw, _) = run_w(carry)
+    np.testing.assert_allclose(np.asarray(pxw), np.asarray(px1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pkw), np.asarray(pk1),
+                               rtol=1e-12, atol=1e-12)
+
+    mesh = shd.make_mesh(ensemble=1)
+    carry_sh = carry.replace(
+        packet_x=jax.device_put(carry.packet_x, shd.packet_sharding(mesh)),
+        packet_k=jax.device_put(carry.packet_k, shd.packet_sharding(mesh)),
+        prev_fields=jax.device_put(carry.prev_fields, shd.replicated(mesh)))
+    c8, (px8, pk8, _) = run_w(carry_sh)
+    np.testing.assert_allclose(np.asarray(px8), np.asarray(px1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pk8), np.asarray(pk1),
+                               rtol=1e-12, atol=1e-12)
