@@ -207,7 +207,7 @@ def interp_windowed(W, nf, x, y, grid: SpectralGrid, order: int = 2):
         wx = jnp.pad(wx, ((0, 0), (0, pad)))
         wy = jnp.pad(wy, ((0, 0), (0, pad)))
     nc = (Np + pad) // C
-    st = jnp.moveaxis(starts.reshape(nc, C), 0, 0)
+    st = starts.reshape(nc, C)
     wxc = jnp.moveaxis(wx.reshape(S, nc, C), 1, 0)
     wyc = jnp.moveaxis(wy.reshape(S, nc, C), 1, 0)
     out = lax.map(lambda a: _window_apply(W, nf, *a), (st, wxc, wyc))

@@ -113,3 +113,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(got.flow_state.qk),
                                   np.asarray(carry.flow_state.qk))
     assert checkpoint.latest_checkpoint(tmp_path) == p
+
+
+def test_profiling_helpers():
+    """Timer measures wall time; time_callable really synchronizes (on
+    the axon TPU backend jax.block_until_ready is a no-op, so _sync
+    fetches a scalar — see utils/profiling.py)."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from swraytracing_tpu.utils.profiling import Timer, time_callable
+
+    with Timer() as t:
+        _time.sleep(0.01)
+    assert 0.005 < t.elapsed < 1.0
+
+    f = jax.jit(lambda x: (x * 2.0, {"s": jnp.sum(x)}))
+    dt, out = time_callable(f, jnp.arange(8.0), warmup=1, iters=2)
+    assert dt >= 0.0
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               2.0 * np.arange(8.0))

@@ -182,3 +182,46 @@ def test_gradients_vs_finite_differences():
     dk = jnp.asarray(np.random.default_rng(2).standard_normal(k0.shape))
     fdk = (loss(0.1, k0 + eps * dk) - loss(0.1, k0 - eps * dk)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.vdot(gk, dk)), float(fdk), rtol=1e-5)
+
+
+def test_rk4_frozen_step_uniform_flow_exact():
+    """rk4_frozen_step (step_packet.m semantics: group velocity frozen at
+    the initial k, grad U frozen at the initial position) is EXACT in a
+    uniform flow: x advances by dt*(U + C(k0)), k is unchanged."""
+    from swraytracing_tpu.models.fields import GriddedFlow
+
+    grid = SpectralGrid.square(32)
+    U0 = 0.37
+    # uniform flow u = U0, v = 0, all gradients zero (a linear psi is
+    # not periodic, so build the gridded fields directly)
+    fields = jnp.zeros((6, 32, 32)).at[0].set(U0)
+    flow = GriddedFlow(fields=fields, grid=grid)
+    x0, k0 = ring_ics(16, 2.5)
+    dt = 0.05
+    x1, k1 = rays.rk4_frozen_step(x0, k0, dt, DISP, flow)
+    C = DISP.group_velocity(k0)
+    expect = x0 + dt * (jnp.stack([jnp.full(x0.shape[1], U0),
+                                   jnp.zeros(x0.shape[1])]) + C)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(expect),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                               rtol=0, atol=1e-12)
+
+
+def test_rk4_frozen_matches_rk4_small_dt():
+    """In a smooth cellular flow the frozen-coefficient RK4 converges to
+    the full RK4 as dt -> 0 (both are consistent discretizations of the
+    same ray ODE)."""
+    grid = SpectralGrid.square(64)
+    X, Y = grid.meshgrid()
+    flow = flow_from_psi_grid(jnp.asarray(0.1 * np.cos(X) * np.cos(Y)),
+                              grid)
+    x0, k0 = ring_ics(8, 2.5, seed=3)
+    dt = 1e-3
+    xa, ka = rays.rk4_frozen_step(x0, k0, dt, DISP, flow)
+    xb, kb = rays.rk4_step(x0, k0, dt, DISP, flow)
+    # the two schemes differ at O(dt^2) within one step
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                               rtol=0, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                               rtol=0, atol=5e-7)
