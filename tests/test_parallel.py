@@ -166,3 +166,26 @@ def test_windowed_coupled_matches_and_shards(monkeypatch):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(pk8), np.asarray(pk1),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_scaling_harness_runs():
+    """measure_packet_scaling runs on the virtual mesh and reports sane
+    monotone packet counts and positive rates (CPU efficiency numbers are
+    not asserted — the harness is exercised, the physics shards)."""
+    from swraytracing_tpu.parallel.scaling import measure_packet_scaling
+
+    cfg0 = CoupledConfig(nx=32, T_Fr_days=10.0, packet_delay_days=0.1)
+
+    def setup_fn(np_):
+        return setup_coupled(cfg0._replace(n_packets=np_))
+
+    def run_fn(s):
+        return jax.jit(functools.partial(
+            run_coupled_chunk, s=s, cfg=cfg0, n_saves=1))
+
+    pts = measure_packet_scaling(setup_fn, run_fn, base_packets=64,
+                                 device_counts=(1, 2, 8), iters=1)
+    assert [p.n_devices for p in pts] == [1, 2, 8]
+    assert [p.packets for p in pts] == [64, 128, 512]
+    assert all(p.packet_steps_per_sec > 0 for p in pts)
+    assert abs(pts[0].efficiency - 1.0) < 1e-9
