@@ -104,8 +104,16 @@ class GriddedFlow:
 
     def at(self, x, y, alpha=0.0) -> FlowEval:
         if self.win is not None:
-            vals = interp_windowed(self.win, self.fields.shape[0], x, y,
-                                   self.grid, self.order)
+            nf = self.fields.shape[0]
+
+            # checkpoint: don't save the gathered (Np, S*S*nf) windows
+            # as AD residuals (see BlendedFlow.at).
+            @jax.checkpoint
+            def eval_w(w, xx, yy):
+                return interp_windowed(w, nf, xx, yy, self.grid,
+                                       self.order)
+
+            vals = eval_w(self.win, x, y)
             return FlowEval(*vals)
         ix, iy, wx, wy = stencil_and_weights(x, y, self.grid, self.order)
         vals = interp_stencil_apply(self.fields, ix, iy, wx, wy)
@@ -145,9 +153,20 @@ class BlendedFlow:
         # gather is the hot path at 1e6 packets, the O(nx*ny) blend is
         # noise next to it.
         if self.win1 is not None:
-            w = (1.0 - alpha) * self.win1 + alpha * self.win2
-            vals = interp_windowed(w, self.fields1.shape[0], x, y,
-                                   self.grid, self.order)
+            nf = self.fields1.shape[0]
+
+            # checkpoint: without it reverse-mode AD saves every eval's
+            # gathered (Np, S*S*nf) windows as residuals — 3.4 GB per
+            # substage at 1e6 packets, OOM within one flow step.
+            # Recomputing the blend+gather in the backward costs ~30 ms
+            # against the already-live win1/win2.
+            @jax.checkpoint
+            def eval_w(w1, w2, xx, yy, a):
+                w = (1.0 - a) * w1 + a * w2
+                return interp_windowed(w, nf, xx, yy, self.grid,
+                                       self.order)
+
+            vals = eval_w(self.win1, self.win2, x, y, alpha)
             return FlowEval(*vals)
         ix, iy, wx, wy = stencil_and_weights(x, y, self.grid, self.order)
         blended = (1.0 - alpha) * self.fields1 + alpha * self.fields2
