@@ -24,7 +24,35 @@ __all__ = [
     "mean_omega_timeseries",
     "ideal_omega_samples",
     "load_packets",
+    "kinetic_energy_spectrum",
 ]
+
+
+def kinetic_energy_spectrum(q, grid, Kd2: float):
+    """Isotropic kinetic-energy spectrum KE(K) of a QG PV field —
+    /root/reference/scratch/energy_spectrum.m: psik = -qk/(K_d2+K2),
+    KEk = K2 |psik|^2, ring-binned over integer |K| (the reference
+    loops a mask per ring; here one bincount via ops.spectral.
+    isospectrum, which also double-counts the conjugate half-plane the
+    reference's full-plane sum sees).
+
+    Args:
+      q: (nx, ny) PV grid field (or (nx, nky) complex spectrum).
+    Returns:
+      (kmax,) numpy array, rings K = 1..kmax (plot loglog vs K^-3).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..ops import spectral as sp
+
+    def _spec(qin):
+        qk = (qin if jnp.iscomplexobj(qin)
+              else sp.to_spectral(qin, grid))
+        psik = -qk / (Kd2 + jnp.asarray(grid.K2))
+        KEk = jnp.asarray(grid.K2) * jnp.abs(psik) ** 2
+        return sp.isospectrum(KEk, grid)
+
+    return np.asarray(jax.jit(_spec)(np.asarray(q)))
 
 
 def omega_of_k(k, f: float, Cg: float):

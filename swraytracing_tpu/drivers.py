@@ -126,7 +126,12 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                        packet_steps_per_sec=(steps_per_chunk
                                              * cfg.n_packets / elapsed))
         if checkpoint_every and (chunk + 1) % checkpoint_every == 0:
-            save_state(rd.path / "ckpt", carry, step=chunk + 1)
+            # Strip the carried interpolation windows: they are a pure
+            # function of prev_fields (rebuilt on resume by
+            # prepare_carry_windows) and would add ~226 MB per
+            # checkpoint at 512^2.
+            save_state(rd.path / "ckpt", carry.replace(prev_win=None),
+                       step=chunk + 1)
         if cfl_recheck is not None:
             run = cfl_recheck(carry, run)
         if chunk % 10 == 0:

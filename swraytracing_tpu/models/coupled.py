@@ -36,7 +36,8 @@ from .qg import (QGParams, QGState, qg_init, qg_step, initial_q_ring,
 from . import rays
 
 __all__ = ["CoupledConfig", "CoupledSetup", "CoupledCarry", "setup_coupled",
-           "coupled_flow_packet_step", "run_coupled_chunk", "ring_packet_ics"]
+           "coupled_flow_packet_step", "run_coupled_chunk", "ring_packet_ics",
+           "prepare_carry_windows"]
 
 
 class CoupledConfig(NamedTuple):
@@ -85,6 +86,12 @@ class CoupledCarry:
     packet_x: jnp.ndarray        # (2, Np) coordinate-first (TPU lanes)
     packet_k: jnp.ndarray        # (2, Np)
     prev_fields: jnp.ndarray     # (6, nx, ny) grid_U of previous step
+    # Prebuilt interpolation windows of prev_fields (ops/interp.
+    # build_windows), carried across flow steps so each lock-step builds
+    # windows only for its NEW snapshot — the previous step already built
+    # this one as its win2 (~27 ms/step saved at 512^2 on a v5e). None
+    # below _WINDOW_MIN_NP packets (the stencil-gather path).
+    prev_win: jnp.ndarray | None = None
 
 
 def ring_packet_ics(cfg: CoupledConfig, grid: SpectralGrid, seed=None):
@@ -171,12 +178,26 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     """
     new_state = flow_step_fn(carry.flow_state)
     fields2 = fields_fn(new_state)
-    flow = BlendedFlow(fields1=carry.prev_fields, fields2=fields2, grid=grid)
+    win2 = None
     if carry.packet_x.shape[-1] >= _interp._WINDOW_MIN_NP:
-        # Large packet counts: prebuild interpolation windows once per
-        # flow step so every substage RHS does one gather index per
-        # packet instead of 36 (ops/interp.build_windows — 8.5x on TPU).
-        flow = flow.windowed()
+        # Large packet counts: prebuild interpolation windows so every
+        # substage RHS does one gather index per packet instead of 36
+        # (ops/interp.build_windows — 8.5x on TPU). Only the NEW
+        # snapshot's windows are built here; the blend-start snapshot
+        # reuses the win2 the previous step carried forward (hoisted by
+        # ensure_carry_windows before the first step).
+        win1 = carry.prev_win
+        if win1 is None:
+            # No carried window (e.g. remat mode, which keeps the big
+            # window arrays out of the per-step AD residuals): build
+            # both here, recomputed in the backward sweep.
+            win1 = _interp.build_windows(carry.prev_fields)
+        win2 = _interp.build_windows(fields2)
+        flow = BlendedFlow(fields1=carry.prev_fields, fields2=fields2,
+                           grid=grid, win1=win1, win2=win2)
+    else:
+        flow = BlendedFlow(fields1=carry.prev_fields, fields2=fields2,
+                           grid=grid)
 
     active = new_state.t > packet_delay
     m = n_substeps
@@ -193,8 +214,33 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
         return step(x, k, sub_dt, disp, flow, alpha0=a0, dalpha=1.0 / m)
 
     px, pk = lax.fori_loop(0, m, body, (carry.packet_x, carry.packet_k))
+    # Structure-stable window carry: a carry that came in with windows
+    # leaves with the new snapshot's; one without stays without (the
+    # windows built above stay internal to this step).
+    out_win = win2 if carry.prev_win is not None else None
     return CoupledCarry(flow_state=new_state, packet_x=px, packet_k=pk,
-                        prev_fields=fields2)
+                        prev_fields=fields2, prev_win=out_win)
+
+
+def prepare_carry_windows(carry: CoupledCarry,
+                          remat: bool = False) -> CoupledCarry:
+    """Make the carry's window slot consistent with the path
+    lockstep_step will take, so scan/fori_loop bodies are
+    structure-stable. Forward runs above _WINDOW_MIN_NP packets get
+    prev_fields' windows prebuilt (each step then builds windows only
+    for its new snapshot). remat (differentiable) runs strip the slot:
+    jax.checkpoint saves step inputs as residuals, and carrying the
+    (nx*ny, S*S*nf) window array would cost ~226 MB per step at 512^2 —
+    window building stays internal to the step and is recomputed in the
+    backward sweep instead."""
+    use_win = (not remat
+               and carry.packet_x.shape[-1] >= _interp._WINDOW_MIN_NP)
+    if use_win and carry.prev_win is None:
+        return carry.replace(
+            prev_win=_interp.build_windows(carry.prev_fields))
+    if not use_win and carry.prev_win is not None:
+        return carry.replace(prev_win=None)
+    return carry
 
 
 def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
@@ -228,6 +274,7 @@ def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
     step = lambda cc: coupled_flow_packet_step(cc, s, cfg)
     if remat:
         step = jax.checkpoint(step)
+    carry = prepare_carry_windows(carry, remat)
 
     def one_save(c, _):
         def body(i, cc):

@@ -26,7 +26,8 @@ from jax import lax
 
 from ..ops.grid import SpectralGrid
 from .dispersion import Dispersion
-from .coupled import CoupledCarry, lockstep_step, ring_packet_ics
+from .coupled import (CoupledCarry, lockstep_step, ring_packet_ics,
+                      prepare_carry_windows)
 from .qg2 import (QG2Params, QG2Operators, qg2_init, qg2_step,
                   build_operators, initial_q2_ring, top_layer_flow,
                   max_speed2)
@@ -133,6 +134,7 @@ def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
     step = lambda cc: coupled2_flow_packet_step(cc, s, cfg)
     if remat:
         step = jax.checkpoint(step)
+    carry = prepare_carry_windows(carry, remat)
 
     def one_save(c, _):
         c = lax.fori_loop(0, cfg.packet_steps_per_save,

@@ -49,6 +49,7 @@ __all__ = [
     "qg_init",
     "qg_step",
     "simulate_qg",
+    "simulate_qg_particles",
     "initial_q_ring",
     "inertial_ring_forcing",
     "max_speed",
@@ -151,6 +152,42 @@ def simulate_qg(state: QGState, grid: SpectralGrid, p: QGParams,
 
     state, (qks, ts) = lax.scan(frame, state, None, length=nframes)
     return state, qks, ts
+
+
+def simulate_qg_particles(state: QGState, xp, grid: SpectralGrid,
+                          p: QGParams, nsteps: int, save_every: int = 1):
+    """QG flow + passive Lagrangian particles advected by the
+    geostrophic velocity — the experiment of the reference's
+    pyqgParticleAdvection.ipynb notebook (pyqg QGModel + particle
+    cloud), and the particle option of the RSW solvers
+    (rsw/swk.m:184-186), on this solver. Each flow step advances the
+    particles one RK4 step in the post-step velocity grids (frozen over
+    the step, like rsw/advect1d.m).
+
+    Args:
+      xp: (2, Np) particle positions, coordinate-first (TPU lanes).
+    Returns:
+      (final_state, xp_final, xp_frames (nframes, 2, Np), t_frames).
+    """
+    from .fields import flow_from_qk
+    from .rsw import advect_particles
+
+    nframes = nsteps // save_every
+
+    def frame(carry, _):
+        def body(i, c):
+            st, x = c
+            st = qg_step(st, grid, p)
+            uv = flow_from_qk(st.qk, grid, p.Kd2).fields[:2]
+            x = advect_particles(x, uv[0], uv[1], grid, p.dt)
+            return st, x
+
+        st, x = lax.fori_loop(0, save_every, body, carry)
+        return (st, x), (x, st.t)
+
+    (state, xp), (xs, ts) = lax.scan(frame, (state, xp), None,
+                                     length=nframes)
+    return state, xp, xs, ts
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,58 @@ def test_plots_render(tmp_path):
     plots.plot_omega_pdf_check(omega, rng.standard_normal((50, 2)) * 0.3,
                                k0=5.0, f=3.0, Cg=1.0, path=p3)
     assert p3.exists()
+
+
+def test_kinetic_energy_spectrum_ring_ic():
+    """KE spectrum of the ring IC (scratch/energy_spectrum.m semantics):
+    energy concentrates in the seeded ring modes 5..8 and the rings sum
+    to the total KE = sum K^2 |psik|^2."""
+    import jax
+    from swraytracing_tpu.ops.grid import SpectralGrid
+    from swraytracing_tpu.ops import spectral as sp
+    from swraytracing_tpu.models.qg import initial_q_ring
+
+    grid = SpectralGrid.square(64)
+    Kd2 = 3.0
+    qk = initial_q_ring(7, grid, 0.4, Kd2)
+    ke = spectra.kinetic_energy_spectrum(np.asarray(sp.to_grid(qk, grid)),
+                                         grid, Kd2)
+    assert ke.shape == (grid.kmax,)
+    ring = ke[4:8].sum()          # rings K = 5..8
+    assert ring > 0.98 * ke.sum()
+    psik = -np.asarray(qk) / (Kd2 + np.asarray(grid.K2))
+    KEk = np.asarray(grid.K2) * np.abs(psik) ** 2
+    total = float(np.asarray(jax.jit(
+        lambda a: sp.isospectrum(a, grid))(KEk)).sum())
+    np.testing.assert_allclose(ke.sum(), total, rtol=1e-10)
+
+
+def test_qg_passive_particles_advect():
+    """simulate_qg_particles (pyqgParticleAdvection.ipynb parity):
+    particles stay finite, disperse, and with zero flow stay put."""
+    import jax
+    import jax.numpy as jnp
+    from swraytracing_tpu.ops.grid import SpectralGrid
+    from swraytracing_tpu.ops import spectral as sp
+    from swraytracing_tpu.models.qg import (QGParams, qg_init,
+                                            initial_q_ring,
+                                            simulate_qg_particles)
+
+    grid = SpectralGrid.square(32)
+    p = QGParams(Kd2=3.0, dt=5e-3, r_drag=0.0,
+                 filter=jnp.asarray(sp.exp_filter(grid)))
+    qk0 = initial_q_ring(3, grid, 0.5, p.Kd2)
+    xp0 = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 2 * np.pi, (2, 24)))
+    st, xp, xs, ts = jax.jit(
+        lambda q, x: simulate_qg_particles(qg_init(q), x, grid, p, 40,
+                                           save_every=10))(qk0, xp0)
+    assert xs.shape == (4, 2, 24) and np.isfinite(np.asarray(xp)).all()
+    moved = np.abs(np.asarray(xp) - np.asarray(xp0)).max()
+    assert moved > 1e-3
+    # zero PV -> zero velocity -> particles stationary
+    _, xp_still, _, _ = jax.jit(
+        lambda q, x: simulate_qg_particles(qg_init(q), x, grid, p, 10))(
+            jnp.zeros_like(qk0), xp0)
+    np.testing.assert_allclose(np.asarray(xp_still), np.asarray(xp0),
+                               atol=1e-12)
