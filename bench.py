@@ -58,14 +58,29 @@ def main():
 
     run = jax.jit(functools.partial(run_chunk, s=s, cfg=cfg, n_saves=1))
 
-    # Warm-up: compile + one call (also spreads packets off the ICs).
-    carry, hist = run(carry)
-    jax.block_until_ready(carry)
+    # Sync by fetching a scalar to the host: on the axon TPU backend
+    # jax.block_until_ready is a no-op (returns before execution
+    # finishes — CLAUDE.md / utils/profiling._sync), so every timing
+    # in this repo synchronizes with a host fetch instead.
+    import jax.numpy as jnp
+
+    def sync(c):
+        float(jnp.sum(c.packet_x[0, :1]))
+
+    # Warm-up: TWO calls. The first compiles the initial-carry structure
+    # (prev_win=None) and returns a carry whose window slot is populated;
+    # the second compiles the steady-state structure that every
+    # subsequent call reuses. Timing after one warm-up call would clock
+    # a ~25 s recompile inside the window (this was BENCH_r01's 9x
+    # undershoot: 395k "measured" vs the real 3.6M).
+    for _ in range(2):
+        carry, hist = run(carry)
+        sync(carry)
 
     t0 = time.perf_counter()
     for _ in range(N_SAVES):
         carry, hist = run(carry)
-    jax.block_until_ready(carry)
+    sync(carry)
     elapsed = time.perf_counter() - t0
 
     flow_steps = N_SAVES * cfg.packet_steps_per_save

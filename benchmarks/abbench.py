@@ -1,5 +1,7 @@
 """A/B: carried interpolation windows vs per-step rebuild, 5 flow steps,
 two-layer 512^2, 1e6 packets, rk23."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 import time
 import functools
 import jax, jax.numpy as jnp

@@ -1,6 +1,8 @@
 """Backward-pass wall time of one coupled two-layer flow step at 1e6
 packets on TPU: windowed vs stencil interpolation path. All reductions
 inside jit (eager ops hang on axon); sync via scalar host fetch."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 import time, functools
 import jax, jax.numpy as jnp
 

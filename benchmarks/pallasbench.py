@@ -1,5 +1,7 @@
 """Pallas fused ray-march vs XLA paths on TPU: 1e6 packets, 128^2 frozen
 flow (fields fit VMEM), 50 symplectic steps."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

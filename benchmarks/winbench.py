@@ -1,5 +1,7 @@
 """Window gather layout experiments on TPU: row-indexed (nx*ny, S*S*nf)
 vs column-indexed (S*S*nf, nx*ny) window arrays, and build cost."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

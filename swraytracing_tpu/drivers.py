@@ -93,12 +93,14 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     for chunk in range(chunk0, n_chunks):
         tc = time.time()
         carry, (px, pk, ts) = run(carry)
-        jax.block_until_ready(carry)
+        # Sync with a host fetch: jax.block_until_ready is a no-op on
+        # the axon TPU backend (utils/profiling._sync), so timing must
+        # close over a fetch — this one doubles as the blow-up check.
+        qk_now = fetch(carry.flow_state.qk)
         elapsed = time.time() - tc
 
         # Blow-up detection (rsw/swk.m:144-148 semantics at chunk
         # granularity): save what we have and stop instead of writing NaNs.
-        qk_now = fetch(carry.flow_state.qk)
         if not np.isfinite(qk_now).all():
             log(f"BLOW UP detected at chunk {chunk} "
                 f"(t~{float(np.asarray(ts)[-1]):.3f}); stopping and "

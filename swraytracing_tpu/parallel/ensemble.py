@@ -83,14 +83,22 @@ def run_ensemble_chunk(carry_b: CoupledCarry, es: EnsembleSetup, s, cfg,
     grid, disp, qp0 = s.grid, s.disp, s.qg_params
 
     def member_step(carry, dt, packet_delay, T):
-        live_dt = jnp.where(carry.flow_state.t < T, dt, 0.0)
+        # A member past its T must freeze *bit-identically*: dt=0 alone
+        # is not enough, because qg_step still applies the spectral
+        # filter (qk *= filter decays high modes every step) and rolls
+        # the AB history/step counter. Compute the step with dt=0 (so a
+        # finished member cannot blow up) and then select the old carry
+        # wholesale for frozen members.
+        live = carry.flow_state.t < T
+        live_dt = jnp.where(live, dt, 0.0)
         qp = qp0._replace(dt=live_dt)
-        return lockstep_step(
+        new = lockstep_step(
             carry,
             flow_step_fn=lambda st: qg_step(st, grid, qp),
             fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2).fields,
             grid=grid, disp=disp, dt=live_dt, packet_delay=packet_delay,
             n_substeps=cfg.n_substeps, stepper=cfg.stepper)
+        return jax.tree.map(lambda a, b: jnp.where(live, a, b), new, carry)
 
     def member_chunk(carry, dt, packet_delay, T):
         def one_save(c, _):

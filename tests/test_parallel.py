@@ -83,19 +83,27 @@ def test_ensemble_matches_sequential():
 
 
 def test_ensemble_freezes_past_T():
-    """A member whose T is tiny must freeze while others advance."""
+    """A member whose T is tiny must freeze bit-identically (packets,
+    time, AND the PV spectrum — a dt=0 step that still applied the
+    spectral filter would keep decaying high modes) while others run."""
     base = CoupledConfig(nx=32, n_packets=4, T_Fr_days=10.0,
                          packet_delay_days=0.01)
     cfgs = [base, base._replace(T_Fr_days=10.0)]
     s0, es, carry_b = setup_ensemble(cfgs)
     es = es.replace(T=jnp.asarray([0.0, es.T[1]]))  # member 0: already done
     carry_b2, (pxb, pkb, tsb) = run_ensemble_chunk(carry_b, es, s0, base, 2)
-    # member 0 frozen
+    # member 0 frozen: packets, time, and the whole flow state bit-identical
     np.testing.assert_allclose(np.asarray(pxb[0][-1]),
                                np.asarray(carry_b.packet_x[0]), atol=1e-14)
     assert float(tsb[0][-1]) == 0.0
+    np.testing.assert_array_equal(np.asarray(carry_b2.flow_state.qk[0]),
+                                  np.asarray(carry_b.flow_state.qk[0]))
+    np.testing.assert_array_equal(np.asarray(carry_b2.flow_state.step[0]),
+                                  np.asarray(carry_b.flow_state.step[0]))
     # member 1 advanced
     assert float(tsb[1][-1]) > 0.0
+    assert not np.array_equal(np.asarray(carry_b2.flow_state.qk[1]),
+                              np.asarray(carry_b.flow_state.qk[1]))
 
 
 def test_remat_gradient_matches_plain():
