@@ -24,6 +24,8 @@ __all__ = [
     "wave_and_geostrophic_spectrum_ic",
     "translating_cs_background",
     "doppler_wave_field",
+    "doppler_refract_wave_field",
+    "doppler_refract_wave_sw",
 ]
 
 
@@ -181,17 +183,15 @@ def translating_cs_background(grid: SpectralGrid, f: float, Cg: float,
     return background_fn
 
 
-def doppler_wave_field(grid: SpectralGrid, f: float, C0: float, times,
-                       ag: float = 0.2, aw: float = 0.1, a_cs: float = 0.25,
-                       km: int = 1, k_range=range(3, 11),
-                       l_range=range(5, 11), seed: int = 0):
-    """Linear wave superposition Doppler-shifted by a steady CS
-    geostrophic flow, neglecting refraction
-    (/root/reference/rsw/dopplerwave.m): each mode advances with local
-    phase theta = k x + l y + phi - (omega + k U_g + l V_g) t
-    (the onewave.m construction). Returns eta (nt, nx, ny) plus the
-    geostrophic (ug, vg, etag)."""
-    rng = np.random.default_rng(seed)
+def _cs_geostrophic(grid: SpectralGrid, f: float, C0: float, ag: float,
+                    a_cs: float, km: int):
+    """Childress-Soward geostrophic flow on centered coordinates
+    (dopplerwave.m:22-28 / dopplerrefractwave.m:26-31). Returns
+    (ug, vg, etag, vortg, Xc, Yc); vortg uses the reference's shortcut
+    vortg = -2 km^2 etag (dopplerrefractwave.m:31) — this equals
+    (f/C0^2) * the true geostrophic vorticity laplacian(C0^2/f etag),
+    i.e. the true vorticity only when C0^2 = f... we keep the
+    reference's field since the refraction formula was tuned to it."""
     X, Y = grid.meshgrid()
     Xc = X - grid.Lx / 2
     Yc = Y - grid.Ly / 2
@@ -201,16 +201,124 @@ def doppler_wave_field(grid: SpectralGrid, f: float, C0: float, times,
                                  - a_cs * np.cos(km * Xc) * np.sin(km * Yc))
     vg = ag * km * C0**2 / f * (np.cos(km * Xc) * np.sin(km * Yc)
                                 - a_cs * np.sin(km * Xc) * np.cos(km * Yc))
-    times = np.atleast_1d(times)
-    eta = np.zeros((len(times),) + grid.shape)
+    vortg = -2.0 * km**2 * etag
+    return ug, vg, etag, vortg, Xc, Yc
+
+
+def _wave_superposition(grid: SpectralGrid, f: float, C0: float, times,
+                        ug, vg, omega2_field, k_range, l_range, aw: float,
+                        seed: int, Xc, Yc):
+    """Sum of onewave.m linear modes with Doppler (and optionally
+    refraction, via omega2_field = f(f+vortg)) corrections; the wave
+    part is renormalised at EVERY time so max|etaw| = aw
+    (dopplerwave.m:71-74 — the reference renormalises inside its movie
+    loop). Returns (uw, vw, etaw) each (nt, nx, ny)."""
+    rng = np.random.default_rng(seed)
+    times = np.atleast_1d(np.asarray(times, dtype=float))
+    nt = len(times)
+    uw = np.zeros((nt,) + grid.shape)
+    vw = np.zeros_like(uw)
+    etaw = np.zeros_like(uw)
     for k in k_range:
         for l in l_range:
             K2 = k * k + l * l
             phi = rng.uniform(0, 2 * np.pi)
-            sgn = 1 if rng.random() > 0.5 else -1
-            w = sgn * np.sqrt(f**2 + C0**2 * K2)
+            sgn = 1.0 if rng.random() > 0.5 else -1.0
+            # omega may be a FIELD (refraction by mean-flow vorticity:
+            # dopplerrefractwave.m:63) or a constant (dopplerwave.m:63)
+            w = sgn * np.sqrt(omega2_field + C0**2 * K2)
             for it, t in enumerate(times):
-                theta = (k * Xc + l * Yc + phi
-                         - (w + k * ug + l * vg) * t)
-                eta[it] += aw * np.cos(theta)
-    return eta, (ug, vg, etag)
+                theta = (k * Xc + l * Yc + phi - (w + k * ug + l * vg) * t)
+                ct, st = np.cos(theta), np.sin(theta)
+                etaw[it] += ct
+                uw[it] += (k * w * ct - l * f * st) / K2
+                vw[it] += (l * w * ct + k * f * st) / K2
+    emax = np.abs(etaw).max(axis=(1, 2), keepdims=True)
+    emax = np.where(emax == 0, 1.0, emax)
+    return aw * uw / emax, aw * vw / emax, aw * etaw / emax
+
+
+def doppler_wave_field(grid: SpectralGrid, f: float, C0: float, times,
+                       ag: float = 0.2, aw: float = 0.1, a_cs: float = 0.25,
+                       km: int = 1, k_range=range(3, 11),
+                       l_range=range(5, 11), seed: int = 0):
+    """Linear wave superposition Doppler-shifted by a steady CS
+    geostrophic flow, neglecting refraction
+    (/root/reference/rsw/dopplerwave.m): each mode advances with local
+    phase theta = k x + l y + phi - (omega + k U_g + l V_g) t, with
+    omega = sign*sqrt(f^2 + C0^2 K^2) constant per mode, and the full
+    onewave.m (u, v, eta) polarisation.
+
+    Returns ((u, v, eta) totals each (nt, nx, ny), geostrophic
+    (ug, vg, etag), ew (nt,) wave energy sum(uw^2+vw^2+C0^2 etaw^2) —
+    dopplerwave.m:77-79)."""
+    ug, vg, etag, _, Xc, Yc = _cs_geostrophic(grid, f, C0, ag, a_cs, km)
+    uw, vw, etaw = _wave_superposition(grid, f, C0, times, ug, vg, f**2,
+                                       k_range, l_range, aw, seed, Xc, Yc)
+    ew = np.sum(uw**2 + vw**2 + C0**2 * etaw**2, axis=(1, 2))
+    return (ug + uw, vg + vw, etag + etaw), (ug, vg, etag), ew
+
+
+def doppler_refract_wave_field(grid: SpectralGrid, f: float, C0: float,
+                               times, ag: float = 0.2, aw: float = 0.1,
+                               a_cs: float = 0.25, km: int = 1,
+                               k_range=range(3, 11), l_range=range(5, 11),
+                               seed: int = 0):
+    """dopplerwave with refraction by the mean-flow vorticity
+    (/root/reference/rsw/dopplerrefractwave.m:63): the local intrinsic
+    frequency becomes omega^2 = f(f + vortg) + C0^2 K^2, so wave crests
+    bend through the CS cells. Returns ((u, v, eta) totals,
+    (ug, vg, etag, vortg))."""
+    ug, vg, etag, vortg, Xc, Yc = _cs_geostrophic(grid, f, C0, ag, a_cs, km)
+    uw, vw, etaw = _wave_superposition(grid, f, C0, times, ug, vg,
+                                       f * (f + vortg), k_range, l_range,
+                                       aw, seed, Xc, Yc)
+    return (ug + uw, vg + vw, etag + etaw), (ug, vg, etag, vortg)
+
+
+def doppler_refract_wave_sw(u, v, eta, grid: SpectralGrid, f: float,
+                            Cg: float, times, ag: float = 0.2,
+                            aw: float = 0.1, k_range=range(3, 11),
+                            l_range=range(5, 11), seed: int = 0):
+    """dopplerrefractwave over a geostrophic flow EXTRACTED from an RSW
+    state (/root/reference/rsw/dopplerrefractwave_sw.m:10-50): project
+    (u, v, eta) onto the geostrophic mode
+    eta_g,k = (f eta_k - zeta_k) f / (f^2 + gH0 K^2), renormalise
+    max|etag| = ag, rebuild (ug, vg, vortg) spectrally, then superpose
+    the refracted wave bath. (u, v, eta) is e.g. a restart frame from a
+    wavevort RSW run. Returns ((u, v, eta) totals, (ug, vg, etag,
+    vortg))."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import spectral as sp
+
+    gH0 = Cg**2
+
+    def extract(u, v, eta):
+        S = sp.to_spectral(jnp.stack([u, v, eta]), grid)
+        uk, vk, etak = S[0], S[1], S[2]
+        kx = jnp.asarray(grid.kx)
+        ky = jnp.asarray(grid.ky)
+        K2 = jnp.asarray(grid.K2)
+        sig2 = f**2 + gH0 * K2
+        zetak = 1j * (kx * vk - ky * uk)
+        etagk = (f * etak - zetak) * f / sig2
+        etag = sp.to_grid(etagk, grid)
+        scale = ag / jnp.max(jnp.abs(etag))
+        etagk = etagk * scale
+        ugk = -1j * ky * (gH0 / f) * etagk
+        vgk = 1j * kx * (gH0 / f) * etagk
+        zetagk = -(gH0 / f) * etagk * K2
+        G = sp.to_grid(jnp.stack([etagk, ugk, vgk, zetagk]), grid)
+        return G[0], G[1], G[2], G[3]
+
+    etag, ug, vg, vortg = (np.asarray(a) for a in jax.jit(extract)(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(eta)))
+    X, Y = grid.meshgrid()
+    Xc = X - grid.Lx / 2
+    Yc = Y - grid.Ly / 2
+    uw, vw, etaw = _wave_superposition(grid, f, Cg, times, ug, vg,
+                                       f * (f + vortg), k_range, l_range,
+                                       aw, seed, Xc, Yc)
+    return (ug + uw, vg + vw, etag + etaw), (ug, vg, etag, vortg)

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SW1Params", "sw1", "sw1_forced", "ybj1d", "advect1d"]
+__all__ = ["SW1Params", "sw1", "sw1_forced", "sw1rk3nu", "ybj1d",
+           "advect1d"]
 
 _RK3 = (1.0 / 3.0, 5.0 / 9.0, 15.0 / 16.0, 153.0 / 128.0, 8.0 / 15.0)
 _AB3 = (23.0 / 12.0, -16.0 / 12.0, 5.0 / 12.0)
@@ -189,6 +190,67 @@ def sw1_forced(U0, Ro: float, Bu: float, V0: float, Kv: int, dt: float,
         H = 1.0 + U[:, 2]
         ke = jnp.sum(0.5 * H * (U[:, 0] ** 2 + U[:, 1] ** 2))
         pe = jnp.sum(0.5 * Bu * H**2)
+        return Uk, (U, ke, pe)
+
+    Uk, (Us, kes, pes) = lax.scan(frame, _to_k(U0), None,
+                                  length=nsteps // save_every)
+    ts = dt * save_every * (1 + jnp.arange(nsteps // save_every))
+    return Us, ts, kes, pes
+
+
+def sw1rk3nu(U0, Ro: float, Bu: float, nu: float, nsteps: int,
+             save_every: int = 1, S: int = 4, dttune: float = 0.01):
+    """Nondimensional 1-D RSW with *explicit* hyperviscosity, RK3
+    (/root/reference/rsw/sw1rk3nu.m:1-25):
+        u_t = v - Bu h_x - Ro (u^2/2)_x - nu (-1)^S d^{2S}u/dx^{2S}
+        v_t = -u - Ro u v_x             - nu (-1)^S d^{2S}v/dx^{2S}
+        h_t = -u_x - Ro (h u)_x
+    i.e. spectral damping -nu K^{2S} on u and v only (sw1rk3nu.m rhs),
+    unlike sw1's trapezoidal per-step filter and sw1_forced's imposed
+    barotropic V — this is the reference's third distinct viscosity
+    treatment, kept as its own entry point.
+
+    Reference quirk (documented, reproduced): sw1rk3nu.m:52-54 computes
+    the "adaptive" vmax from `Ui`, which is never reassigned inside the
+    loop — so dt is in fact CONSTANT, fixed by the initial condition:
+    dt = dttune*2*pi/KMAX / max(sqrt(Bu+1), max|u0,v0|). We compute it
+    the same way (once, from U0).
+
+    Returns (U_frames (nf, nx, 3), t_frames, ke, pe)."""
+    U0 = jnp.asarray(U0)
+    n = U0.shape[0]
+    kmax = n // 2 - 1
+    iK = _ik(n)
+    Kp = jnp.asarray(np.arange(n // 2, dtype=np.float64) ** (2 * S))
+
+    cgw = np.sqrt(Bu + 1.0)  # gravity-wave speed at k=1 (sw1rk3nu.m:49)
+    vmax0 = float(np.maximum(
+        cgw, np.sqrt(np.max(np.abs(np.asarray(U0[:, 0])))**2
+                     + np.max(np.abs(np.asarray(U0[:, 1])))**2)))
+    dt = dttune * 2.0 * np.pi / kmax / vmax0
+
+    def rhs(Uk):
+        wk = jnp.stack([Uk[:, 0], iK * Uk[:, 1], Uk[:, 2]], axis=1)
+        wg, _ = _pad_big(wk, n)
+        u, vx, h = wg[:, 0], wg[:, 1], wg[:, 2]
+        prods = jnp.stack([u * u, u * vx, u * h], axis=1)
+        pk = _unpad_big(prods, n)
+        Ru = (Uk[:, 1] - Bu * iK * Uk[:, 2] - 0.5 * Ro * iK * pk[:, 0]
+              - nu * Kp * Uk[:, 0])
+        Rv = -Uk[:, 0] - Ro * pk[:, 1] - nu * Kp * Uk[:, 1]
+        Rh = -iK * Uk[:, 0] - Ro * iK * pk[:, 2]
+        return jnp.stack([Ru, Rv, Rh], axis=1)
+
+    # sw1rk3nu.m:62 divides by Ro^2 in PE; at Ro=0 (pure linear runs)
+    # report the quadratic-in-h PE instead of the reference's Inf.
+    pe_fac = 0.5 / Ro**2 if Ro != 0.0 else 0.5
+
+    def frame(Uk, _):
+        Uk = lax.fori_loop(0, save_every, lambda i, y: _rk3(y, dt, rhs), Uk)
+        U = _to_g(Uk, n)
+        H = 1.0 + Ro * U[:, 2]
+        ke = jnp.sum(0.5 * H * (U[:, 0] ** 2 + U[:, 1] ** 2))
+        pe = jnp.sum(pe_fac * (H**2 if Ro != 0.0 else U[:, 2] ** 2))
         return Uk, (U, ke, pe)
 
     Uk, (Us, kes, pes) = lax.scan(frame, _to_k(U0), None,

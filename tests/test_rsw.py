@@ -235,11 +235,52 @@ def test_doppler_wave_field_builder():
     from swraytracing_tpu.models import examples
 
     grid = SpectralGrid.square(48)
-    eta, (ug, vg, etag) = examples.doppler_wave_field(
+    (u, v, eta), (ug, vg, etag), ew = examples.doppler_wave_field(
         grid, F, CG, [0.0, 0.5], k_range=range(3, 5), l_range=range(5, 7))
     assert eta.shape == (2, 48, 48)
-    assert np.isfinite(eta).all()
+    assert np.isfinite(eta).all() and np.isfinite(ew).all()
     assert np.abs(eta[1] - eta[0]).max() > 1e-3  # waves moved
+    # wave part renormalised per time: max|etaw| = aw exactly
+    np.testing.assert_allclose(np.abs(eta - etag).max(axis=(1, 2)),
+                               0.1, rtol=1e-12)
+
+
+def test_doppler_refract_wave_differs_from_unrefracted():
+    """Refraction by the CS vorticity (dopplerrefractwave.m:63) must
+    change the evolved wave field but not the t=0 snapshot's eta (the
+    t=0 phase theta = kx+ly+phi is omega-independent; u,v do depend on
+    omega through the polarisation)."""
+    from swraytracing_tpu.models import examples
+
+    grid = SpectralGrid.square(48)
+    kw = dict(k_range=range(3, 5), l_range=range(5, 7), seed=3)
+    (u0, v0, e0), _, _ = examples.doppler_wave_field(
+        grid, F, CG, [0.0, 0.5], **kw)
+    (u1, v1, e1), (ug, vg, etag, vortg) = \
+        examples.doppler_refract_wave_field(grid, F, CG, [0.0, 0.5], **kw)
+    np.testing.assert_allclose(e1[0], e0[0], atol=1e-12)
+    assert np.abs(e1[1] - e0[1]).max() > 1e-6
+    assert np.isfinite(vortg).all()
+
+
+def test_doppler_refract_wave_sw_extracts_geostrophic():
+    """Feeding a purely geostrophic state into the _sw variant must
+    recover it (up to the ag renormalisation) as the mean flow."""
+    from swraytracing_tpu.models import examples
+    from swraytracing_tpu.models.exact_linear import geostrophic_ic
+
+    grid = SpectralGrid.square(48)
+    X, Y = grid.meshgrid()
+    psi = 0.05 * (np.sin(X) * np.sin(Y) + 0.25 * np.cos(X) * np.cos(Y))
+    u, v, h = (np.asarray(a) for a in geostrophic_ic(grid, F, CG, psi))
+    ag = 0.2
+    (ut, vt, et), (ug, vg, etag, vortg) = examples.doppler_refract_wave_sw(
+        u, v, h, grid, F, CG, [0.0], ag=ag, aw=0.05,
+        k_range=range(3, 5), l_range=range(5, 7))
+    # extracted etag is the input h rescaled so max|etag| = ag
+    np.testing.assert_allclose(etag, h * (ag / np.abs(h).max()),
+                               atol=1e-10)
+    np.testing.assert_allclose(ug, u * (ag / np.abs(h).max()), atol=1e-9)
 
 
 def test_exact_linear_1d():

@@ -72,6 +72,63 @@ def test_sw1_forced_linear_dispersion():
                                atol=eta0 * 1e-2)
 
 
+def test_sw1rk3nu_single_mode_matches_expm():
+    """One spectral mode of the damped linear system (Ro=0) evolves by
+    the exact matrix exponential of
+        d/dt [u,v,h]_k = [[-nu k^2S, 1, -i Bu k], [-1, -nu k^2S, 0],
+                          [-i k, 0, 0]] [u,v,h]_k
+    (sw1rk3nu.m rhs: hyperviscosity on u,v only, none on h); the solver
+    should match to RK3 error."""
+    import scipy.linalg
+
+    n, k, Bu, nu, S = 64, 3, 0.5, 1e-6, 2
+    x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    # real IC projecting onto mode k: u = cos kx, v = sin kx, h = cos kx
+    U0 = np.stack([np.cos(k * x), np.sin(k * x), np.cos(k * x)], axis=1)
+    nsteps = 200
+    Us, ts, ke, pe = sw1d.sw1rk3nu(jnp.asarray(U0), Ro=0.0, Bu=Bu, nu=nu,
+                                   nsteps=nsteps, save_every=nsteps, S=S)
+    T = float(ts[-1])
+    d = nu * float(k) ** (2 * S)
+    M = np.array([[-d, 1.0, -1j * Bu * k],
+                  [-1.0, -d, 0.0],
+                  [-1j * k, 0.0, 0.0]], dtype=complex)
+    # spectral coefficients at +k of the IC (half-spectrum convention)
+    c0 = np.array([0.5, -0.5j, 0.5], dtype=complex)
+    cT = scipy.linalg.expm(M * T) @ c0
+    u_exp = 2 * np.real(cT[0] * np.exp(1j * k * x))
+    v_exp = 2 * np.real(cT[1] * np.exp(1j * k * x))
+    h_exp = 2 * np.real(cT[2] * np.exp(1j * k * x))
+    got = np.asarray(Us[-1])
+    np.testing.assert_allclose(got[:, 0], u_exp, atol=1e-6)
+    np.testing.assert_allclose(got[:, 1], v_exp, atol=1e-6)
+    np.testing.assert_allclose(got[:, 2], h_exp, atol=1e-6)
+
+
+def test_sw1rk3nu_matches_sw1_forced_when_inviscid():
+    """nu=0, V0=0: sw1rk3nu and sw1_forced integrate the identical
+    nondimensional system with the same RK3 — trajectories must agree to
+    roundoff when run at the same dt."""
+    n, Bu, Ro = 64, 0.8, 0.05
+    x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    U0 = np.stack([0.2 * np.cos(2 * x), 0.1 * np.sin(x),
+                   0.1 * np.cos(x)], axis=1)
+    kmax = n // 2 - 1
+    vmax0 = max(np.sqrt(Bu + 1.0),
+                np.sqrt(np.max(np.abs(U0[:, 0]))**2
+                        + np.max(np.abs(U0[:, 1]))**2))
+    dt = 0.01 * 2 * np.pi / kmax / vmax0  # sw1rk3nu's own constant dt
+    nsteps = 50
+    Ua, ta, _, _ = sw1d.sw1rk3nu(jnp.asarray(U0), Ro=Ro, Bu=Bu, nu=0.0,
+                                 nsteps=nsteps, save_every=nsteps)
+    Ub, tb, _, _ = sw1d.sw1_forced(jnp.asarray(U0), Ro=Ro, Bu=Bu, V0=0.0,
+                                   Kv=1, dt=dt, nsteps=nsteps,
+                                   save_every=nsteps)
+    np.testing.assert_allclose(float(ta[-1]), float(tb[-1]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ua[-1]), np.asarray(Ub[-1]),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_ybj1d_free_evolution_exact():
     """V0=0: each mode evolves by exp(-i Bu k^2 t / 2) exactly (to RK3
     error)."""
