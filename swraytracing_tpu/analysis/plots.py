@@ -148,13 +148,50 @@ def plot_trajectories(x_frames, k_frames, f: float, Cg: float, path=None,
 def animate_pv(q_frames, grid, out_dir, packet_x_frames=None,
                times=None, gif_path=None):
     """Render PV frames (+ packet overlay) to PNGs and optionally a GIF
-    (qgflow_animation.m's AVI equivalent). Returns the PNG paths."""
+    (qgflow_animation.m's AVI equivalent). Returns the PNG paths.
+
+    When the packet save cadence is denser than the PV cadence (the
+    production drivers save packets every packet_steps_per_save flow
+    steps but PV every steps_per_save), one frame is rendered per
+    PACKET save, with the PV linearly interpolated in time between the
+    bracketing flow frames — qgflow_animation.m:88-101's
+    `alpha*q(i) + (1-alpha)*q(i-1)` blend. The cadence ratio is inferred
+    from the frame counts (m packet frames per PV interval)."""
     import os
 
     os.makedirs(str(out_dir), exist_ok=True)
-    vlim = float(np.max(np.abs(np.asarray(q_frames))))
+    q_frames = np.asarray(q_frames)
+    vlim = float(np.max(np.abs(q_frames)))
+    nq = q_frames.shape[0]
+    npk = None if packet_x_frames is None else len(packet_x_frames)
+
+    if npk is not None and npk > nq > 1:
+        # dense packet cadence: m packet frames per PV interval
+        m = int(round(npk / (nq - 1)))
+        paths = []
+        for s in range(npk):
+            i = min(s // m, nq - 2)
+            alpha = (s - i * m + 1) / m
+            alpha = min(alpha, 1.0)
+            q = (1.0 - alpha) * q_frames[i] + alpha * q_frames[i + 1]
+            px = np.asarray(packet_x_frames)[s]
+            t = None if times is None else float(np.asarray(times)[s])
+            p = os.path.join(str(out_dir), f"pv_{s:05d}.png")
+            render_pv_frame(q, grid, packet_x=px, path=p, vlim=vlim,
+                            title=None if t is None else f"t = {t:.2f}")
+            paths.append(p)
+        if gif_path:
+            try:
+                from PIL import Image
+                imgs = [Image.open(p) for p in paths]
+                imgs[0].save(gif_path, save_all=True,
+                             append_images=imgs[1:], duration=120, loop=0)
+            except ImportError:
+                pass
+        return paths
+
     paths = []
-    for i, q in enumerate(np.asarray(q_frames)):
+    for i, q in enumerate(q_frames):
         px = (None if packet_x_frames is None
               else np.asarray(packet_x_frames)[i])
         t = None if times is None else float(np.asarray(times)[i])

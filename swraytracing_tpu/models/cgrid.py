@@ -22,8 +22,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["avg", "dif", "laplacian", "SWPParams", "swp", "cgrid_pv",
-           "geostrophic_velocities"]
+__all__ = ["avg", "dif", "laplacian", "SWPParams", "swp", "swp_to_files",
+           "cgrid_pv", "geostrophic_velocities"]
 
 _RK3 = (1.0 / 3.0, 5.0 / 9.0, 15.0 / 16.0, 153.0 / 128.0, 8.0 / 15.0)
 
@@ -126,12 +126,15 @@ def swp_rhs(u, v, H, hb, p: SWPParams, dx, dy, nu, fcor_u, fcor_v):
 
 
 def swp(u0, v0, h0, p: SWPParams = SWPParams(), hb=None, nt: int = 500,
-        save_every: int = 100, geovel: bool = False):
+        save_every: int = 100, geovel: bool = False, t0: float = 0.0):
     """Run the C-grid model nt steps (swp.m main loop :240-330).
 
     Args:
       u0, v0, h0: (nx, ny) C-grid fields (staggered interpretation).
       hb: optional bottom topography at h points.
+      t0: model time of the input fields — the reference's F_in.time
+        restart support (swp.m:26-28,120-122); pass the t of a previous
+        run's last frame to continue its clock.
     Returns (u, v, h frames each (nf, nx, ny), t, ke, ape, htot).
     """
     u0, v0, h0 = (jnp.asarray(a, jnp.float64) for a in (u0, v0, h0))
@@ -174,10 +177,54 @@ def swp(u0, v0, h0, p: SWPParams = SWPParams(), hb=None, nt: int = 500,
         htot = jnp.sum(H)
         return carry, (u, v, h, t, ke, ape, htot)
 
-    carry0 = (u0, v0, H0, jnp.asarray(0.0, h0.dtype))
+    carry0 = (u0, v0, H0, jnp.asarray(t0, h0.dtype))
     _, (us, vs, hs, ts, kes, apes, htots) = lax.scan(
         frame, carry0, None, length=nt // save_every)
     return us, vs, hs, ts, kes, apes, htots
+
+
+def swp_to_files(u0, v0, h0, out_dir, p: SWPParams = SWPParams(), hb=None,
+                 nt: int = 500, save_every: int = 100, geovel: bool = False,
+                 idstring: str = "", frame0: int = 0, t0: float = 0.0):
+    """swp with the reference's direct-to-file output and restart-field
+    workflow (swp.m writetofiles flag :53-58, F_in.frame/F_in.time
+    :26-28): frames of u, v, h, zeta, q and time are appended to
+    frame-addressed binaries u<idstring>.bin ... in `out_dir`, numbered
+    from frame0+1; pass the returned (frame, time) back in to continue a
+    run from its last saved state.
+
+    Returns (restart dict {u, v, h, frame, time}, diag dict
+    {t, ke, ape, htot} arrays) — the reference's (F_out, Diag_out)."""
+    import pathlib
+
+    from ..io import binio
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    us, vs, hs, ts, kes, apes, htots = swp(
+        u0, v0, h0, p, hb=hb, nt=nt, save_every=save_every, geovel=geovel,
+        t0=t0)
+    us, vs, hs, ts = (np.asarray(a) for a in (us, vs, hs, ts))
+    dx, dy = p.Lx / hs.shape[1], p.Ly / hs.shape[2]
+    hb_a = np.zeros_like(hs[0]) if hb is None else np.asarray(hb)
+    frame = frame0
+    for j in range(us.shape[0]):
+        frame += 1
+        H = hs[j] - hb_a
+        zeta = np.asarray(
+            dif(vs[j], 0, p.periodx, shift=True) / dx
+            - dif(us[j], 1, p.periody, shift=True) / dy)
+        q = np.asarray(cgrid_pv(us[j], vs[j], H, p, dx, dy))
+        for name, a in (("u", us[j]), ("v", vs[j]), ("h", hs[j]),
+                        ("zeta", zeta), ("q", q)):
+            binio.write_field(a, str(out / f"{name}{idstring}.bin"), frame)
+        binio.write_field(np.asarray(ts[j]),
+                          str(out / f"time{idstring}.bin"), frame)
+    restart = {"u": us[-1], "v": vs[-1], "h": hs[-1], "frame": frame,
+               "time": float(ts[-1])}
+    diag = {"t": ts, "ke": np.asarray(kes), "ape": np.asarray(apes),
+            "htot": np.asarray(htots)}
+    return restart, diag
 
 
 def cgrid_pv(u, v, H, p: SWPParams, dx, dy):

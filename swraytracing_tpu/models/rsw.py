@@ -50,6 +50,7 @@ __all__ = [
     "rsw_rhs",
     "rsw_step",
     "simulate_rsw",
+    "swknd",
     "energy",
     "advect_particles",
     "potential_vorticity",
@@ -265,29 +266,109 @@ def rsw_step(state: RSWState, grid: SpectralGrid, p: RSWParams, filters,
 
 def simulate_rsw(state: RSWState, grid: SpectralGrid, p: RSWParams,
                  nsteps: int, save_every: int = 1,
-                 background_fn: Callable | None = None):
+                 background_fn: Callable | None = None, Xp0=None,
+                 particle_vel_scale: float = 1.0):
     """Run nsteps, saving (u, v, h) grids + (t, ke, pe) per frame.
 
     background_fn: optional t -> (U, V) grid fields for the linearized
     solvers; a time-dependent callable gives swkU_tc, a constant closure
     gives swkU, None gives nonlinear swk.
+
+    Xp0: optional (2, Np) Lagrangian particle positions advected one RK4
+    step per flow step in the post-step velocity (swk.m:184-186,
+    swknd.m np^2 option); particle frames are appended to the returns.
+    particle_vel_scale rescales the advecting velocity (the swknd
+    change of variables needs dx/dT = u/(gam*ep) — see swknd below).
     """
     filters = rsw_filters(grid, p)
     nframes = nsteps // save_every
+    has_p = Xp0 is not None
+    xp0 = jnp.asarray(Xp0) if has_p else jnp.zeros((2, 1))
 
-    def one(st):
+    def one(carry):
+        st, xp = carry
         UV = background_fn(st.t) if background_fn is not None else None
-        return rsw_step(st, grid, p, filters, UV)
+        st2 = rsw_step(st, grid, p, filters, UV)
+        if has_p:
+            uv = sp.to_grid(st2.Sk[:2], grid)
+            xp = advect_particles(xp, particle_vel_scale * uv[0],
+                                  particle_vel_scale * uv[1], grid, st2.dt)
+        return st2, xp
 
-    def frame(st, _):
-        st = lax.fori_loop(0, save_every, lambda i, s: one(s), st)
+    def frame(carry, _):
+        carry = lax.fori_loop(0, save_every, lambda i, c: one(c), carry)
+        st, xp = carry
         S = sp.to_grid(st.Sk, grid)
         ke, pe = energy(S[0], S[1], S[2], p)
-        return st, (S, st.t, ke, pe)
+        return carry, (S, st.t, ke, pe, xp)
 
-    state, (S_frames, ts, kes, pes) = lax.scan(frame, state, None,
-                                               length=nframes)
+    (state, _), (S_frames, ts, kes, pes, xps) = lax.scan(
+        frame, (state, xp0), None, length=nframes)
+    if has_p:
+        return state, S_frames, ts, kes, pes, xps
     return state, S_frames, ts, kes, pes
+
+
+def swknd(u0, v0, h0, ep: float, gam: float, nsteps: int,
+          save_every: int = 1, nutune: float = 1.0, np_particles: int = 0,
+          dttune: float = 0.1, dealias: bool = True):
+    """Nondimensional RSW (/root/reference/rsw/swknd.m:1-45):
+        u_t = v(1 + ep zeta) - B_x + nu del^a u
+        v_t = -u(1 + ep zeta) - B_y + nu del^a v
+        h_t = -gam [(1+ep h) u]_x - gam [(1+ep h) v]_y
+    with B = gam [ep (u^2+v^2)/2 + h], ep = U/(f Ld), gam = Ld/L.
+
+    Solved by exact change of variables into the dimensional swk core
+    (term-by-term match of swknd.m getrhs:197-212 against swk.m getrhs):
+        U = gam*ep/tau' ... with tau = f = 1/ep:
+        U = gam u,  V = gam v,  H = ep h,  T = ep t,
+        f = 1/ep,   Cg = gam/ep
+    — each swknd term maps onto the corresponding swk term exactly
+    (Coriolis: tau alpha = f alpha; vorticity/KE: tau alpha gam ep =
+    alpha^2; pressure: Cg^2 = tau alpha gam / beta; mass: tau beta gam =
+    alpha, with alpha = gam, beta = ep, tau = 1/ep). Differences kept
+    from swk's machinery, documented: the trapezoidal filter applies to
+    u,v only (swknd.m:178 filters all three layers; h-filtering is a
+    mass sink the swk family avoids), and the adaptive dt/nu are
+    computed in mapped variables. dttune defaults to 0.1 rather than
+    swknd.m's 0.5 (:47): the Courant condition dt = dttune*dx/Umax only
+    bounds ADVECTION, but AB3 needs omega_max*dt < 0.724 for the
+    fastest gravity wave omega_max ~ gam*sqrt(2)*kmax/ep (in mapped
+    time) — at 64^2 with gam=0.7 the reference's 0.5 is linearly
+    UNSTABLE (blows up from a 1e-5 plane wave within t~3) and only
+    survives in the reference under heavy hyperviscosity.
+
+    np_particles > 0 advects an np^2 uniform particle grid
+    (swknd.m:103-109,181-183); dx/dt_nd = u means dx/dT = u/(gam ep) in
+    mapped time, hence the velocity rescale.
+
+    Returns (S_frames (nf, 3, nx, ny) in swknd variables, t (swknd
+    time), ke, pe, Xp (nf, 2, np^2) or None) with the swknd.m:158-159
+    energy definitions ke = sum(.5 (1+ep h)(u^2+v^2)),
+    pe = sum(.5/ep^2 (1+ep h)^2).
+    """
+    u0, v0, h0 = (jnp.asarray(a) for a in (u0, v0, h0))
+    nx = u0.shape[0]
+    grid = SpectralGrid.square(nx, 2.0 * np.pi)
+    p = RSWParams(f=1.0 / ep, Cg=gam / ep, nutune=nutune, dttune=dttune,
+                  dealias=dealias)
+    st = rsw_init(gam * u0, gam * v0, ep * h0, grid, p)
+    if np_particles:
+        x0 = (np.arange(np_particles) / np_particles) * grid.Lx + 1e-7
+        X, Y = np.meshgrid(x0, x0, indexing="ij")
+        xp0 = jnp.asarray(np.stack([X.ravel(), Y.ravel()]))
+        st, S, ts, _, _, xps = simulate_rsw(
+            st, grid, p, nsteps, save_every, Xp0=xp0,
+            particle_vel_scale=1.0 / (gam * ep))
+    else:
+        st, S, ts, _, _ = simulate_rsw(st, grid, p, nsteps, save_every)
+        xps = None
+    # back to swknd variables: u = U/gam, h = H/ep, t = T/ep
+    S_nd = S.at[:, :2].divide(gam).at[:, 2].divide(ep)
+    u, v, h = S_nd[:, 0], S_nd[:, 1], S_nd[:, 2]
+    ke = 0.5 * jnp.sum((1 + ep * h) * (u**2 + v**2), axis=(1, 2))
+    pe = 0.5 / ep**2 * jnp.sum((1 + ep * h) ** 2, axis=(1, 2))
+    return S_nd, ts / ep, ke, pe, xps
 
 
 def energy(u, v, h, p: RSWParams):

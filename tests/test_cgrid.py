@@ -81,6 +81,44 @@ def test_swp_walls_and_topography_run():
     assert bool(jnp.isfinite(hs).all())
 
 
+def test_swp_restart_matches_continuous(tmp_path):
+    """Direct-to-file run + restart from the returned state (the
+    reference's F_in.frame/F_in.time workflow, swp.m:26-28) must
+    reproduce a single continuous run exactly: RK3 carries no history,
+    so a save-boundary restart is bit-exact, and the file frames must
+    continue the numbering."""
+    from swraytracing_tpu.io import binio
+
+    n = 32
+    rng = np.random.default_rng(1)
+    h0 = 0.01 * rng.standard_normal((n, n))
+    u0 = 0.05 * rng.standard_normal((n, n))
+    v0 = 0.05 * rng.standard_normal((n, n))
+    p = SWPParams(Roi=3.0, Cg=1.0, Nu=0.05)
+
+    # continuous: 40 steps, 2 frames
+    us, vs, hs, ts, *_ = cgrid.swp(u0, v0, h0, p, nt=40, save_every=20)
+
+    # file run of 20 steps, then restart for 20 more
+    d = tmp_path / "swp"
+    r1, _ = cgrid.swp_to_files(u0, v0, h0, d, p, nt=20, save_every=20)
+    assert r1["frame"] == 1
+    r2, _ = cgrid.swp_to_files(r1["u"], r1["v"], r1["h"], d, p, nt=20,
+                               save_every=20, frame0=r1["frame"],
+                               t0=r1["time"])
+    assert r2["frame"] == 2
+    np.testing.assert_allclose(r2["h"], np.asarray(hs[-1]), atol=1e-12)
+    np.testing.assert_allclose(r2["time"], float(ts[-1]), rtol=1e-12)
+    # both frames readable from the same file, matching the continuous run
+    h_frames = np.asarray(binio.read_field(str(d / "h.bin"), n, n, 1,
+                                           [1, 2]))
+    h_frames = h_frames.reshape(n, n, 2)
+    np.testing.assert_allclose(h_frames[..., 0], np.asarray(hs[0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(h_frames[..., 1], np.asarray(hs[1]),
+                               atol=1e-12)
+
+
 def test_cgrid_pv_uniform_flow():
     n = 16
     p = SWPParams(Roi=4.0, Cg=1.0)

@@ -80,6 +80,31 @@ def test_plots_render(tmp_path):
     assert p3.exists()
 
 
+def test_animate_pv_time_interpolates(tmp_path):
+    """Dense packet cadence: animate_pv renders one frame per PACKET
+    save with PV blended between flow frames (qgflow_animation.m:88-101)
+    — frame count equals the packet frame count, not the PV count."""
+    from swraytracing_tpu.analysis import plots
+    from swraytracing_tpu.ops.grid import SpectralGrid
+
+    rng = np.random.default_rng(1)
+    grid = SpectralGrid.square(16)
+    nq, m = 3, 4                       # 2 PV intervals x 4 packet saves
+    q = rng.standard_normal((nq,) + grid.shape)
+    npk = (nq - 1) * m
+    px = rng.uniform(0, grid.Lx, (npk, 6, 2))
+    paths = plots.animate_pv(q, grid, tmp_path / "anim",
+                             packet_x_frames=px,
+                             times=np.linspace(0, 1, npk))
+    assert len(paths) == npk
+    import os
+    assert all(os.path.exists(p) for p in paths)
+    # matched cadence still renders one per PV frame
+    paths2 = plots.animate_pv(q, grid, tmp_path / "anim2",
+                              packet_x_frames=px[:nq])
+    assert len(paths2) == nq
+
+
 def test_kinetic_energy_spectrum_ring_ic():
     """KE spectrum of the ring IC (scratch/energy_spectrum.m semantics):
     energy concentrates in the seeded ring modes 5..8 and the rings sum

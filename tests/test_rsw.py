@@ -231,6 +231,54 @@ def test_translating_cs_background_swku_tc():
     assert bool(jnp.isfinite(S).all())
 
 
+def test_swknd_linear_wave_dispersion():
+    """swknd (nondimensional RSW via the swk change of variables) must
+    propagate a small plane wave at omega = sqrt(1 + gam^2 K^2) in
+    swknd TIME — this exercises the full mapping (amplitude scalings
+    U=gam u, H=ep h AND the time scaling T=ep t); a bare parameter
+    substitution without them fails this test."""
+    n, ep, gam = 64, 0.5, 0.7
+    ki, li = 3, 2
+    eta0 = 1e-5
+    grid = SpectralGrid.square(n)
+    X, Y = grid.meshgrid()
+    K2 = ki**2 + li**2
+    w = np.sqrt(1.0 + gam**2 * K2)
+    th = ki * X + li * Y
+    h0 = eta0 * np.cos(th)
+    u0 = eta0 / (gam * K2) * (w * ki * np.cos(th) - li * np.sin(th))
+    v0 = eta0 / (gam * K2) * (w * li * np.cos(th) + ki * np.sin(th))
+    S, ts, ke, pe, _ = jax.jit(lambda u, v, h: rsw.swknd(
+        u, v, h, ep, gam, 300, 300, nutune=1e-3))(u0, v0, h0)
+    T = float(ts[-1])
+    h_exp = eta0 * np.cos(th - w * T)
+    np.testing.assert_allclose(np.asarray(S[-1, 2]), h_exp,
+                               atol=eta0 * 2e-2)
+
+
+def test_swknd_particle_grid_inertial_oscillation():
+    """Uniform initial u: exact inertial oscillation u = u0 cos(t_nd),
+    v = -u0 sin(t_nd) (swknd Coriolis parameter is 1), so the particle
+    grid displaces by (u0 sin t, u0 (cos t - 1)) — checks the np^2
+    particle option AND the particle velocity/time rescale."""
+    n, ep, gam, u0a = 32, 0.4, 0.8, 0.01
+    S, ts, ke, pe, xps = rsw.swknd(u0a * np.ones((n, n)), np.zeros((n, n)),
+                                   np.zeros((n, n)), ep, gam, 200, 200,
+                                   np_particles=3)
+    assert xps.shape[-1] == 9
+    T = float(ts[-1])
+    np.testing.assert_allclose(float(S[-1, 0].mean()), u0a * np.cos(T),
+                               atol=u0a * 1e-3)
+    x0 = (np.arange(3) / 3) * 2 * np.pi + 1e-7
+    X, Y = np.meshgrid(x0, x0, indexing="ij")
+    np.testing.assert_allclose(np.asarray(xps[-1][0]),
+                               X.ravel() + u0a * np.sin(T),
+                               atol=u0a * 2e-2)
+    np.testing.assert_allclose(np.asarray(xps[-1][1]),
+                               Y.ravel() + u0a * (np.cos(T) - 1.0),
+                               atol=u0a * 2e-2)
+
+
 def test_doppler_wave_field_builder():
     from swraytracing_tpu.models import examples
 
