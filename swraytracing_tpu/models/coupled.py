@@ -171,6 +171,27 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     Packets are frozen (dt=0) until t > packet_delay, matching the
     reference's gating.
 
+    Fixed sub-stepping vs the reference's adaptive ode23 (SURVEY hard
+    part #4): the reference sub-cycles each flow step with MATLAB ode23
+    at rtol=1e-6/atol=1e-7. Our default (rk23 stages, n_substeps=4) was
+    validated against rays.rk23_adaptive at those tolerances and at
+    rtol=1e-10 truth over one flow step at the production configs
+    (benchmarks/substep_study.py, 256^2, w0 in {2,16}; errors are
+    max|dy|/max|k| vs truth):
+
+        omega*dt    adaptive@1e-6   rk23 n=2   n=4       n=8
+        0.018 (CFL) 4.5e-11         2.5e-11    3.1e-12   3.8e-13
+        0.147 (CFL) 1.8e-11         3.0e-11    3.7e-12   4.6e-13
+        1.474 (10x) 6.2e-10         3.0e-07    3.8e-08   4.7e-09
+
+    i.e. n_substeps=4 stays >= 26x inside the reference's 1e-6
+    envelope even at omega*dt ~ 1.5 — the largest value reachable with
+    the committed run configurations (w0=16, the dt=0.024 long-run
+    logs). The symplectic stepper trades pointwise accuracy
+    (~2.6e-4 at that regime) for exact phase-space conservation; use it
+    for throughput, rk23 for ode23 parity
+    (tests/test_rays.py::test_fixed_substeps_within_ode23_envelope).
+
     Args:
       flow_step_fn: flow_state -> flow_state (one solver step; must
         advance .t).

@@ -40,6 +40,7 @@ __all__ = [
     "yoshida4_step",
     "rk4_step",
     "rk23_step",
+    "rk23_adaptive",
     "rk4_frozen_step",
     "rk4_xka_step",
     "integrate_rays",
@@ -141,6 +142,77 @@ def rk23_step(x, k, dt, disp: Dispersion, flow, alpha0=0.0, dalpha=0.0):
     xn = x + dt * (2.0 * dx1 + 3.0 * dx2 + 4.0 * dx3) / 9.0
     kn = k + dt * (2.0 * dk1 + 3.0 * dk2 + 4.0 * dk3) / 9.0
     return xn, kn
+
+
+def rk23_adaptive(x, k, T, disp: Dispersion, flow, rtol: float = 1e-6,
+                  atol: float = 1e-7, dt0: float | None = None,
+                  max_steps: int = 200_000):
+    """Adaptive Bogacki–Shampine over [0, T] — the reference's actual
+    production sub-cycling (MATLAB ode23 at qgsw_raytrace.m:149, with
+    the tolerances of SW_zero_background_raytracing.m:71-79). The flow
+    blend fraction is alpha = t/T, exactly the reference's
+    interpolate_U convention over one flow step.
+
+    Error control matches MATLAB's: componentwise
+    E = max |err_i| / max(|y_i|, |ynew_i|, atol/rtol) over the packed
+    (x, k) state of ALL packets (ode23 integrates the 4*Np vector with
+    one shared step), accept iff E <= rtol, FSAL, step factor
+    0.8*(rtol/E)^(1/3) clipped to [0.2, 5].
+
+    VALIDATION-ONLY path: dynamic trip count (lax.while_loop), not
+    scannable or reverse-differentiable. The production drivers use
+    fixed-substep rk23_step, whose n_substeps is validated against this
+    integrator (see models/coupled.py lockstep_step docstring and
+    tests/test_rays.py::test_fixed_substeps_within_ode23_envelope).
+
+    Returns (x, k, n_accepted, n_attempted).
+    """
+    T = jnp.asarray(T, x.dtype)
+    thresh = atol / rtol
+
+    def f(xx, kk, t):
+        return ray_rhs(xx, kk, t / T, disp, flow)
+
+    dt_init = jnp.asarray(T / 100.0 if dt0 is None else dt0, x.dtype)
+
+    def cond(c):
+        xx, kk, t, dt, f1x, f1k, na, nt = c
+        return (t < T) & (nt < max_steps)
+
+    def body(c):
+        xx, kk, t, dt, f1x, f1k, na, nt = c
+        h = jnp.minimum(dt, T - t)
+        dx2, dk2 = f(xx + 0.5 * h * f1x, kk + 0.5 * h * f1k, t + 0.5 * h)
+        dx3, dk3 = f(xx + 0.75 * h * dx2, kk + 0.75 * h * dk2,
+                     t + 0.75 * h)
+        xn = xx + h * (2.0 * f1x + 3.0 * dx2 + 4.0 * dx3) / 9.0
+        kn = kk + h * (2.0 * f1k + 3.0 * dk2 + 4.0 * dk3) / 9.0
+        dx4, dk4 = f(xn, kn, t + h)
+        ex = h * (-5.0 * f1x / 72.0 + dx2 / 12.0 + dx3 / 9.0 - dx4 / 8.0)
+        ek = h * (-5.0 * f1k / 72.0 + dk2 / 12.0 + dk3 / 9.0 - dk4 / 8.0)
+
+        def enorm(err, y0, y1):
+            sc = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), thresh)
+            return jnp.max(jnp.abs(err) / sc)
+
+        E = jnp.maximum(enorm(ex, xx, xn), enorm(ek, kk, kn))
+        accept = E <= rtol
+        fac = 0.8 * (rtol / jnp.maximum(E, 1e-300)) ** (1.0 / 3.0)
+        dt_new = h * jnp.clip(fac, 0.2, 5.0)
+        xx = jnp.where(accept, xn, xx)
+        kk = jnp.where(accept, kn, kk)
+        f1x = jnp.where(accept, dx4, f1x)   # FSAL
+        f1k = jnp.where(accept, dk4, f1k)
+        t = jnp.where(accept, t + h, t)
+        return (xx, kk, t, dt_new, f1x, f1k,
+                na + accept.astype(jnp.int32), nt + 1)
+
+    f1x0, f1k0 = f(x, k, jnp.asarray(0.0, x.dtype))
+    out = lax.while_loop(cond, body,
+                         (x, k, jnp.asarray(0.0, x.dtype), dt_init,
+                          f1x0, f1k0, jnp.asarray(0, jnp.int32),
+                          jnp.asarray(0, jnp.int32)))
+    return out[0], out[1], out[6], out[7]
 
 
 # ---------------------------------------------------------------------------

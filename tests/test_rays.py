@@ -225,3 +225,58 @@ def test_rk4_frozen_matches_rk4_small_dt():
                                rtol=0, atol=5e-7)
     np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
                                rtol=0, atol=5e-7)
+
+
+def test_fixed_substeps_within_ode23_envelope():
+    """SURVEY hard part #4 / VERDICT item 4: the production fixed
+    sub-cycling (rk23 stages, n_substeps=4) must stay inside the
+    reference's adaptive-ode23 tolerance envelope (rtol=1e-6, atol=1e-7;
+    SW_zero_background_raytracing.m:71-79) over one flow step, at the
+    WORST committed regime omega*dt ~ 1.5 (w0=16 with the dt=0.024
+    long-run logs). Errors measured against an rtol=1e-10 adaptive
+    truth. Full study: benchmarks/substep_study.py."""
+    import functools
+    from swraytracing_tpu.models.coupled import (CoupledConfig,
+                                                 setup_coupled,
+                                                 coupled_flow_packet_step)
+    from swraytracing_tpu.models.fields import BlendedFlow, flow_from_qk
+    from swraytracing_tpu.models.qg import qg_step
+
+    cfg = CoupledConfig(nx=64, n_packets=64, near_inertial_factor=16.0,
+                        packet_delay_days=0.0)
+    s, carry = setup_coupled(cfg)
+    carry = jax.jit(functools.partial(coupled_flow_packet_step, s=s,
+                                      cfg=cfg))(carry)
+    st2 = jax.jit(lambda st: qg_step(st, s.grid, s.qg_params))(
+        carry.flow_state)
+    F2 = jax.jit(
+        lambda q: flow_from_qk(q, s.grid, s.qg_params.Kd2).fields)(st2.qk)
+    flow = BlendedFlow(fields1=carry.prev_fields, fields2=F2, grid=s.grid)
+    x0, k0 = carry.packet_x, carry.packet_k
+    omega0 = np.sqrt(9.0 + float(jnp.sum(k0[:, 0] ** 2)))
+    dt = 1.5 / omega0  # the worst reachable omega*dt regime
+
+    xt, kt, _, _ = jax.jit(lambda x, k: rays.rk23_adaptive(
+        x, k, dt, s.disp, flow, rtol=1e-10, atol=1e-12))(x0, k0)
+    xr, kr, na, nt = jax.jit(lambda x, k: rays.rk23_adaptive(
+        x, k, dt, s.disp, flow, rtol=1e-6, atol=1e-7))(x0, k0)
+    assert int(na) > 0 and int(nt) >= int(na)
+
+    m = cfg.n_substeps  # the production default (4)
+
+    def run_fixed(x, k):
+        def body(i, xk):
+            return rays.rk23_step(xk[0], xk[1], dt / m, s.disp, flow,
+                                  alpha0=i / m, dalpha=1.0 / m)
+        return jax.lax.fori_loop(0, m, body, (x, k))
+
+    xf, kf = jax.jit(run_fixed)(x0, k0)
+    scale = float(jnp.max(jnp.abs(kt)))
+    err_fixed = max(float(jnp.max(jnp.abs(xf - xt))),
+                    float(jnp.max(jnp.abs(kf - kt)))) / scale
+    err_ref = max(float(jnp.max(jnp.abs(xr - xt))),
+                  float(jnp.max(jnp.abs(kr - kt)))) / scale
+    # inside the reference envelope with margin, and far below rtol
+    assert err_fixed < 1e-6, err_fixed
+    assert err_fixed < max(err_ref, 1e-9) * 50 or err_fixed < 1e-7, \
+        (err_fixed, err_ref)
