@@ -108,6 +108,16 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             rd.log_metrics(chunk=chunk, blow_up=True)
             break
 
+        # Fused-march margin check: overflow > 0 means some packet out-
+        # drifted its gathered window this chunk (its stencil was clamped
+        # — results suspect; required_margin's headroom was exceeded).
+        if getattr(carry, "overflow", None) is not None:
+            ov = int(fetch(carry.overflow))
+            if ov > 0:
+                log(f"WARNING: fused-march margin overflow {ov} cells "
+                    f"at chunk {chunk}; increase MarchSpec.margin")
+                rd.log_metrics(chunk=chunk, march_overflow=ov)
+
         px_np, pk_np, ts_np = fetch((px, pk, ts))
         for j in range(px_np.shape[0]):
             packet_frame += 1
@@ -132,7 +142,8 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             # function of prev_fields (rebuilt on resume by
             # prepare_carry_windows) and would add ~226 MB per
             # checkpoint at 512^2.
-            save_state(rd.path / "ckpt", carry.replace(prev_win=None),
+            save_state(rd.path / "ckpt",
+                       carry.replace(prev_win=None, overflow=None),
                        step=chunk + 1)
         if cfl_recheck is not None:
             run = cfl_recheck(carry, run)

@@ -29,6 +29,7 @@ from flax import struct
 from ..ops.grid import SpectralGrid
 from ..ops import spectral as sp
 from ..ops import interp as _interp
+from ..ops import pallas_window as pwin
 from .dispersion import Dispersion
 from .fields import BlendedFlow, flow_from_qk
 from .qg import (QGParams, QGState, qg_init, qg_step, initial_q_ring,
@@ -65,6 +66,11 @@ class CoupledConfig(NamedTuple):
     ring_ic: bool = True                # False reproduces the reference bug
     reference_quirks: bool = False
     dealias: bool = False
+    # Fused packet march (ops/pallas_window.py): gather each packet's
+    # margin-widened stencil window ONCE per flow step and run all
+    # substeps in one Pallas kernel (zero per-stage gathers). Engages
+    # above _WINDOW_MIN_NP packets; the XLA per-stage path below that.
+    fused_march: bool = True
 
 
 class CoupledSetup(NamedTuple):
@@ -78,6 +84,7 @@ class CoupledSetup(NamedTuple):
     Fr: float
     U0: float
     T: float
+    march: pwin.MarchSpec | None = None
 
 
 @struct.dataclass
@@ -87,11 +94,17 @@ class CoupledCarry:
     packet_k: jnp.ndarray        # (2, Np)
     prev_fields: jnp.ndarray     # (6, nx, ny) grid_U of previous step
     # Prebuilt interpolation windows of prev_fields (ops/interp.
-    # build_windows), carried across flow steps so each lock-step builds
-    # windows only for its NEW snapshot — the previous step already built
-    # this one as its win2 (~27 ms/step saved at 512^2 on a v5e). None
-    # below _WINDOW_MIN_NP packets (the stencil-gather path).
+    # build_windows, or ops/pallas_window.build_gather_windows on the
+    # fused-march path), carried across flow steps so each lock-step
+    # builds windows only for its NEW snapshot — the previous step
+    # already built this one as its win2 (~27 ms/step saved at 512^2 on
+    # a v5e). None below _WINDOW_MIN_NP packets (stencil-gather path).
     prev_win: jnp.ndarray | None = None
+    # Running max of the fused march's margin-overflow counter (scalar
+    # int32; 0 = every stencil stayed inside its gathered window). Only
+    # populated on the fused-march path; drivers surface it next to the
+    # blow-up check.
+    overflow: jnp.ndarray | None = None
 
 
 def ring_packet_ics(cfg: CoupledConfig, grid: SpectralGrid, seed=None):
@@ -145,11 +158,28 @@ def setup_coupled(cfg: CoupledConfig):
         lambda q: flow_from_qk(q, grid, Kd2).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg_init(qk0), packet_x=px0,
                           packet_k=pk0, prev_fields=fields0)
+    march = build_march_spec(cfg, grid, dt, U0)
     setup = CoupledSetup(grid=grid, disp=disp, qg_params=qp, dt=dt,
                          n_steps=n_steps, packet_delay=packet_delay,
                          packet_step_start=packet_step_start, Fr=Fr, U0=U0,
-                         T=T)
+                         T=T, march=march)
     return setup, carry0
+
+
+def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
+    """MarchSpec for the fused packet march, margin sized to the CFL
+    step (required_margin); Pallas forward on accelerators, XLA
+    reference forward on CPU."""
+    if not getattr(cfg, "fused_march", False):
+        return None
+    if cfg.stepper not in ("rk23", "rk4", "symplectic"):
+        return None
+    margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx)
+    return pwin.MarchSpec(
+        nx=grid.nx, ny=grid.ny, dx=grid.dx, dy=grid.dy,
+        f=cfg.f, Cg=cfg.Cg, n_substeps=cfg.n_substeps,
+        stepper=cfg.stepper, margin=margin, tiles_transposed=True,
+        use_pallas=jax.default_backend() != "cpu")
 
 
 def _substep_fn(name: str):
@@ -163,8 +193,8 @@ def _substep_fn(name: str):
 
 
 def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
-                  dt, packet_delay, n_substeps: int, stepper: str
-                  ) -> CoupledCarry:
+                  dt, packet_delay, n_substeps: int, stepper: str,
+                  march: pwin.MarchSpec | None = None) -> CoupledCarry:
     """Generic lock-step iteration (qgsw_raytrace.m:121-151 and
     qg2layersw_raytrace.m:152-197): advance the flow one step, rebuild
     velocity grids, sub-cycle packets against the time-blended snapshots.
@@ -199,8 +229,43 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     """
     new_state = flow_step_fn(carry.flow_state)
     fields2 = fields_fn(new_state)
+    Np = carry.packet_x.shape[-1]
+
+    if march is not None and Np >= _interp._WINDOW_MIN_NP:
+        # Fused-march path (ops/pallas_window.py): windows gathered ONCE
+        # per flow step with a `margin` drift allowance, all substeps run
+        # in one Pallas kernel with zero per-stage gathers. Identical
+        # arithmetic to the per-stage path (tested) as long as no packet
+        # drifts more than `margin` cells within the step — the running
+        # max of the kernel's overflow counter is carried for drivers to
+        # assert on.
+        win2 = pwin.build_gather_windows(fields2, march)
+        win1 = carry.prev_win
+        if win1 is None or win1.shape != win2.shape:
+            win1 = pwin.build_gather_windows(carry.prev_fields, march)
+        active = new_state.t > packet_delay
+        sub_dt = jnp.where(active, dt / n_substeps, 0.0)
+        B = march.block
+        x, k = carry.packet_x, carry.packet_k
+        oi, oj = pwin.packet_cells(x[0], x[1], march)
+        oip = pwin.pad_packet_axis(oi, B)
+        ojp = pwin.pad_packet_axis(oj, B)
+        pw1 = pwin.gather_packet_windows(win1, oip, ojp, march)
+        pw2 = pwin.gather_packet_windows(win2, oip, ojp, march)
+        xk = pwin.pad_packet_axis(jnp.concatenate([x, k], axis=0), B)
+        out, ov = pwin.fused_march(pw1, pw2, xk, oip, ojp, sub_dt,
+                                   march, march.use_pallas)
+        px, pk = out[:2, :Np], out[2:, :Np]
+        new_ov = jnp.max(ov[:, :Np] if ov.ndim > 1 else ov[:Np])
+        overflow = (new_ov if carry.overflow is None
+                    else jnp.maximum(carry.overflow, new_ov))
+        out_win = win2 if carry.prev_win is not None else None
+        return CoupledCarry(flow_state=new_state, packet_x=px,
+                            packet_k=pk, prev_fields=fields2,
+                            prev_win=out_win, overflow=overflow)
+
     win2 = None
-    if carry.packet_x.shape[-1] >= _interp._WINDOW_MIN_NP:
+    if Np >= _interp._WINDOW_MIN_NP:
         # Large packet counts: prebuild interpolation windows so every
         # substage RHS does one gather index per packet instead of 36
         # (ops/interp.build_windows — 8.5x on TPU). Only the NEW
@@ -240,26 +305,42 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     # windows built above stay internal to this step).
     out_win = win2 if carry.prev_win is not None else None
     return CoupledCarry(flow_state=new_state, packet_x=px, packet_k=pk,
-                        prev_fields=fields2, prev_win=out_win)
+                        prev_fields=fields2, prev_win=out_win,
+                        overflow=carry.overflow)
 
 
-def prepare_carry_windows(carry: CoupledCarry,
-                          remat: bool = False) -> CoupledCarry:
-    """Make the carry's window slot consistent with the path
+def prepare_carry_windows(carry: CoupledCarry, remat: bool = False,
+                          march: pwin.MarchSpec | None = None
+                          ) -> CoupledCarry:
+    """Make the carry's window/overflow slots consistent with the path
     lockstep_step will take, so scan/fori_loop bodies are
     structure-stable. Forward runs above _WINDOW_MIN_NP packets get
     prev_fields' windows prebuilt (each step then builds windows only
-    for its new snapshot). remat (differentiable) runs strip the slot:
-    jax.checkpoint saves step inputs as residuals, and carrying the
-    (nx*ny, S*S*nf) window array would cost ~226 MB per step at 512^2 —
-    window building stays internal to the step and is recomputed in the
-    backward sweep instead."""
-    use_win = (not remat
-               and carry.packet_x.shape[-1] >= _interp._WINDOW_MIN_NP)
-    if use_win and carry.prev_win is None:
-        return carry.replace(
-            prev_win=_interp.build_windows(carry.prev_fields))
-    if not use_win and carry.prev_win is not None:
+    for its new snapshot); the builder follows the path (margin windows
+    for the fused march, stencil windows otherwise). remat
+    (differentiable) runs strip the slot: jax.checkpoint saves step
+    inputs as residuals, and carrying the window array would cost
+    ~226-400 MB per step at 512^2 — window building stays internal to
+    the step and is recomputed in the backward sweep instead."""
+    engaged = carry.packet_x.shape[-1] >= _interp._WINDOW_MIN_NP
+    march_on = march is not None and engaged
+    want_ov = march_on
+    if want_ov and carry.overflow is None:
+        carry = carry.replace(overflow=jnp.zeros((), jnp.int32))
+    if not want_ov and carry.overflow is not None:
+        carry = carry.replace(overflow=None)
+    use_win = not remat and engaged
+    if use_win:
+        build = ((lambda f: pwin.build_gather_windows(f, march))
+                 if march_on else _interp.build_windows)
+        expected_cols = march.K if march_on else None
+        win = carry.prev_win
+        rebuild = win is None or (expected_cols is not None
+                                  and win.shape[-1] != expected_cols)
+        if rebuild:
+            return carry.replace(prev_win=build(carry.prev_fields))
+        return carry
+    if carry.prev_win is not None:
         return carry.replace(prev_win=None)
     return carry
 
@@ -273,7 +354,7 @@ def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
         flow_step_fn=lambda st: qg_step(st, grid, qp),
         fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2).fields,
         grid=grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
-        n_substeps=cfg.n_substeps, stepper=cfg.stepper)
+        n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march)
 
 
 def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
@@ -295,7 +376,7 @@ def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
     step = lambda cc: coupled_flow_packet_step(cc, s, cfg)
     if remat:
         step = jax.checkpoint(step)
-    carry = prepare_carry_windows(carry, remat)
+    carry = prepare_carry_windows(carry, remat, s.march)
 
     def one_save(c, _):
         def body(i, cc):

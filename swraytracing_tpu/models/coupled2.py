@@ -27,7 +27,7 @@ from jax import lax
 from ..ops.grid import SpectralGrid
 from .dispersion import Dispersion
 from .coupled import (CoupledCarry, lockstep_step, ring_packet_ics,
-                      prepare_carry_windows)
+                      prepare_carry_windows, build_march_spec)
 from .qg2 import (QG2Params, QG2Operators, qg2_init, qg2_step,
                   build_operators, initial_q2_ring, top_layer_flow,
                   max_speed2)
@@ -63,6 +63,7 @@ class Coupled2Config(NamedTuple):
     ring_ic: bool = True
     one_layer_quirk: bool = False       # packet-flow inversion quirk
     dealias: bool = False
+    fused_march: bool = True            # see CoupledConfig.fused_march
 
 
 class Coupled2Setup(NamedTuple):
@@ -76,6 +77,7 @@ class Coupled2Setup(NamedTuple):
     Fr: float
     U0: float
     T: float
+    march: object | None = None         # pallas_window.MarchSpec
 
 
 def setup_coupled2(cfg: Coupled2Config):
@@ -106,9 +108,10 @@ def setup_coupled2(cfg: Coupled2Config):
         q, grid, ops, p, cfg.one_layer_quirk).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg2_init(qk0), packet_x=px0,
                           packet_k=pk0, prev_fields=fields0)
+    march = build_march_spec(cfg, grid, dt, U0)
     setup = Coupled2Setup(grid=grid, disp=disp, params=p, ops=ops, dt=dt,
                           n_steps=n_steps, packet_delay=packet_delay,
-                          Fr=Fr, U0=U0, T=T)
+                          Fr=Fr, U0=U0, T=T, march=march)
     return setup, carry0
 
 
@@ -121,7 +124,7 @@ def coupled2_flow_packet_step(carry: CoupledCarry, s: Coupled2Setup,
         fields_fn=lambda st: top_layer_flow(
             st.qk, s.grid, s.ops, s.params, cfg.one_layer_quirk).fields,
         grid=s.grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
-        n_substeps=cfg.n_substeps, stepper=cfg.stepper)
+        n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march)
 
 
 def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
@@ -134,7 +137,7 @@ def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
     step = lambda cc: coupled2_flow_packet_step(cc, s, cfg)
     if remat:
         step = jax.checkpoint(step)
-    carry = prepare_carry_windows(carry, remat)
+    carry = prepare_carry_windows(carry, remat, s.march)
 
     def one_save(c, _):
         c = lax.fori_loop(0, cfg.packet_steps_per_save,
