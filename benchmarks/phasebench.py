@@ -76,59 +76,61 @@ F = timed("fields (grid_U: 8 transforms)", fields_fn, carry.flow_state.qk)
 build = jax.jit(interp.build_windows)
 W = timed("build_windows (512^2, 6 fields)", build, F)
 
-# --- one blended windowed eval (the substage RHS's gather) ---------------
-x, y = carry.packet_x[0], carry.packet_x[1]
-flow = BlendedFlow(fields1=F, fields2=F, grid=s.grid, win1=W, win2=W)
-ev = jax.jit(lambda xx, yy: flow.at(xx, yy, 0.5).uv)
-timed("blended windowed eval (1e6 pkts)", ev, x, y,
-      scalar_of=lambda r: r[0, :1].sum())
+# --- dispatch floor: every standalone timing above pays one axon
+# dispatch+fetch round trip; subtract this from standalone numbers ----------
+timed("dispatch floor (trivial jit)", jax.jit(lambda x: x + 1.0),
+      jnp.float32(1.0), scalar_of=lambda r: r)
 
-# stencil path for comparison (36 point-gather indices per packet)
-flow_s = BlendedFlow(fields1=F, fields2=F, grid=s.grid)
-ev_s = jax.jit(lambda xx, yy: flow_s.at(xx, yy, 0.5).uv)
-timed("blended stencil eval (1e6 pkts)", ev_s, x, y,
-      scalar_of=lambda r: r[0, :1].sum())
+# --- fused-march phases (ops/pallas_window.py) -----------------------------
+mspec = s.march
+if mspec is not None:
+    from swraytracing_tpu.ops import pallas_window as pwin
 
-# --- one rk23 substep (3 evals) -------------------------------------------
-sub = jax.jit(lambda xx, kk: rays.rk23_step(
-    xx, kk, s.dt / cfg.n_substeps, s.disp, flow, alpha0=0.0,
-    dalpha=1.0 / cfg.n_substeps))
-timed("rk23 substep (3 evals)", sub, carry.packet_x, carry.packet_k,
-      scalar_of=lambda r: r[0][0, :1].sum())
-
-sub_y = jax.jit(lambda xx, kk: rays.symplectic_step(
-    xx, kk, s.dt / cfg.n_substeps, s.disp, flow, alpha=0.5))
-timed("symplectic substep (1 eval)", sub_y, carry.packet_x, carry.packet_k,
-      scalar_of=lambda r: r[0][0, :1].sum())
-
-# --- one full lock-step iteration -----------------------------------------
-carry_w = jax.jit(functools.partial(C.prepare_carry_windows))(carry)
-one = jax.jit(functools.partial(C2.coupled2_flow_packet_step, s=s, cfg=cfg))
-timed("full lock-step (flow+fields+win+4 rk23)", one, carry_w,
-      scalar_of=lambda r: r.packet_x[0, :1].sum())
+    Wm = timed("build_gather_windows (margin, +T)",
+               jax.jit(lambda F: pwin.build_gather_windows(F, mspec)), F)
+    cells = jax.jit(lambda x: pwin.packet_cells(x[0], x[1], mspec))
+    oi, oj = cells(carry.packet_x)
+    oip = jax.jit(lambda a: pwin.pad_packet_axis(a, mspec.block))(oi)
+    ojp = jax.jit(lambda a: pwin.pad_packet_axis(a, mspec.block))(oj)
+    gat = jax.jit(lambda W, a, b: pwin.gather_packet_windows(W, a, b,
+                                                             mspec))
+    pw1 = timed("gather packet windows (1e6, K=%d)" % mspec.K,
+                gat, Wm, oip, ojp)
+    xkp = jax.jit(lambda x, k: pwin.pad_packet_axis(
+        jnp.concatenate([x, k], axis=0), mspec.block))(
+        carry.packet_x, carry.packet_k)
+    mar = jax.jit(lambda p1, p2, xk, a, b: pwin.march_pallas(
+        p1, p2, xk, a, b, s.dt / cfg.n_substeps, mspec))
+    timed(f"fused march kernel [{mspec.stepper} x{mspec.n_substeps}]",
+          mar, pw1, pw1, xkp, oip, ojp,
+          scalar_of=lambda r: r[0][0, :1].sum())
 
 # --- full chunks ----------------------------------------------------------
 for stepper in ("rk23", "symplectic"):
     cfg_s = cfg._replace(stepper=stepper)
-    runf = jax.jit(functools.partial(C2.run_coupled2_chunk, s=s, cfg=cfg_s,
-                                     n_saves=1))
-    cc = runf(carry)[0]  # structure warmup (windows populated)
+    s_s, carry_s = C2.setup_coupled2(cfg_s)  # MarchSpec follows stepper
+    runf = jax.jit(functools.partial(C2.run_coupled2_chunk, s=s_s,
+                                     cfg=cfg_s, n_saves=1))
+    cc = runf(carry_s)[0]  # structure warmup (windows populated)
     out = timed(f"chunk of 5 lock-steps [{stepper}]", runf, cc, n=3,
                 scalar_of=lambda r: r[0].packet_x[0, :1].sum())
     rate = 5 * NP / results[f"chunk of 5 lock-steps [{stepper}]"]
     print(f"{'  -> packet-steps/s':44s} {rate/1e6:9.2f} M", flush=True)
     results[f"packet-steps/s [{stepper}]"] = rate
 
-# --- roofline accounting ---------------------------------------------------
-gather_floor = NP * 12.6e-9
-results["gather floor per eval (s)"] = gather_floor
-evals = cfg.n_substeps * 3
-step_floor = (results["flow qg2_step x1"]
-              + results["fields (grid_U: 8 transforms)"]
-              + results["build_windows (512^2, 6 fields)"]
-              + evals * gather_floor)
-print(f"{'per-step roofline (rk23, gather-bound)':44s} "
-      f"{step_floor*1e3:9.2f} ms "
-      f"(measured {results['full lock-step (flow+fields+win+4 rk23)']*1e3:.2f})")
-results["per-step roofline rk23 (s)"] = step_floor
+# --- roofline accounting (march path) ---------------------------------------
+floor = results.get("dispatch floor (trivial jit)", 0.0)
+per_step = results["chunk of 5 lock-steps [rk23]"] / 5
+parts = {k: results[k] - floor for k in results
+         if k.startswith(("build_gather", "gather packet",
+                          "fused march"))}
+ledger = (results["flow qg2_step x1"]
+          + (results["fields (grid_U: 8 transforms)"] - floor)
+          + parts.get("build_gather_windows (margin, +T)", 0.0)
+          + 2 * parts.get("gather packet windows (1e6, K=%d)"
+                          % (s.march.K if s.march else 0), 0.0)
+          + sum(v for k, v in parts.items() if k.startswith("fused march")))
+print(f"{'per-step ledger (march, floor-corrected)':44s} "
+      f"{ledger*1e3:9.2f} ms (chunk-measured {per_step*1e3:.2f})")
+results["per-step ledger march (s)"] = ledger
 print(json.dumps({k: round(v, 6) for k, v in results.items()}))

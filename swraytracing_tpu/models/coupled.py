@@ -232,6 +232,10 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     Np = carry.packet_x.shape[-1]
 
     if march is not None and Np >= _interp._WINDOW_MIN_NP:
+        assert march.stepper == stepper and march.n_substeps == n_substeps, \
+            ("MarchSpec built for a different stepper configuration: "
+             f"{march.stepper} x{march.n_substeps} vs {stepper} x"
+             f"{n_substeps}; rebuild the setup with the new config")
         # Fused-march path (ops/pallas_window.py): windows gathered ONCE
         # per flow step with a `margin` drift allowance, all substeps run
         # in one Pallas kernel with zero per-stage gathers. Identical
