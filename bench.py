@@ -24,10 +24,12 @@ MODEL = os.environ.get("BENCH_MODEL", "qg2")
 # rk23's 3 — ~2.5x faster at 1e6 packets, 2nd order, exactly
 # conservative in steady flow; the reference's own ode_symplectic.m).
 STEPPER = os.environ.get("BENCH_STEPPER", "rk23")
-# Flow steps per jitted call: the axon tunnel kills device executions
-# that run for several minutes, so keep one call well under that
-# (12 RHS evals/step at 1e6 packets is ~5 s/step device time).
-STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "5"))
+# Flow steps per jitted call: each call pays one axon tunnel round trip
+# (~40 ms), so amortize it over enough steps — but the tunnel kills
+# device executions that run for several minutes, so keep one call well
+# under that (a fused-march lock-step at 1e6 packets is ~40 ms device
+# time; 20 steps/call ~ 1 s).
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "20"))
 BASELINE_PACKET_STEPS_PER_SEC = 2.1e3  # MATLAB reference, BASELINE.md
 
 

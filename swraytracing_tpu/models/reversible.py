@@ -23,6 +23,23 @@ there, accumulating cotangents for (x0, k0) and for the flow pytree
 (spectral coefficients / analytic parameters). Memory is O(1) in the
 number of steps; compute is ~2x a forward pass plus one step-VJP per
 step.
+
+Scope — why the COUPLED drivers use per-step remat instead: this module
+covers steady flows (frozen snapshots / analytic backgrounds), where
+the whole flow pytree is a loop constant. In the coupled lock-step run
+the flow itself evolves (AB3 with 2-3 spectral history states) and the
+packets see a time-BLENDED pair of snapshots; reversing that pair
+requires inverting the QG step, and the exponential spectral filter
+(qgsw_raytrace.m:222-230) is strongly contractive on high wavenumbers —
+its inverse amplifies float roundoff by up to 1e15 at the cutoff, so a
+re-integrated backward flow diverges from the forward trajectory and
+the "exact" gradient is exact for the wrong trajectory. jax.checkpoint
+per lock-step (run_coupled_chunk(remat=True)) is the correct trade:
+memory O(steps * carry) instead of O(steps * everything), backward
+recomputes each step's windows/gathers from the carried spectra
+(GRAD_r02.json: fwd+bwd = 2.2x forward at the production config), and
+gradient equality against no-remat is tested
+(tests/test_drivers.py grad-remat tests).
 """
 
 from __future__ import annotations

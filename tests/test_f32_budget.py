@@ -92,6 +92,54 @@ def _run_coupled(x64: bool):
         return np.asarray(iso), np.asarray(pk)
 
 
+def test_f32_gradient_vs_fd_budget():
+    """f32 autodiff gradient vs f64 central finite differences
+    (VERDICT item 5 / BASELINE.json "gradients allclose vs FD").
+
+    Budget: rtol 2e-3 over a 50-step symplectic loop. The f32 gradient
+    carries ~1e-7 roundoff per step through the VJP sweep; at 50 steps
+    with O(1) loss curvature that is ~5e-6 absolute, and the flow
+    parameter's O(0.1) gradient makes the relative budget ~1e-4 — 2e-3
+    leaves 20x headroom for unlucky cancellation. The same loss in f64
+    matches FD to rtol 1e-5 (tests/test_rays.py
+    test_gradients_vs_finite_differences)."""
+    from swraytracing_tpu.models import analytic, rays
+
+    def make_loss(dtype):
+        rng = np.random.default_rng(0)
+        ang = 2 * np.pi * np.arange(4) / 4
+        x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (2, 4)), dtype)
+        k0 = jnp.asarray(8.0 * np.stack([np.cos(ang), np.sin(ang)], 0),
+                         dtype)
+        dt = 0.01
+
+        def loss(U0, k0_):
+            fl = analytic.childress_soward(U0=U0)
+            step = lambda x, k, t: rays.symplectic_step(x, k, dt, DISP, fl)
+            xs, ks, _ = rays.integrate_rays(x0, k0_, dt, 50, step,
+                                            save_every=50)
+            return jnp.mean(ks[-1] ** 2) + jnp.mean(xs[-1] ** 2)
+
+        return loss, k0
+
+    with jax.enable_x64(False):
+        loss32, k032 = make_loss(jnp.float32)
+        gU32, gk32 = jax.jit(jax.grad(loss32, argnums=(0, 1)))(
+            jnp.float32(0.1), k032)
+        assert gU32.dtype == jnp.float32 and gk32.dtype == jnp.float32
+        gU32, gk32 = np.asarray(gU32), np.asarray(gk32)
+
+    loss64, k064 = make_loss(jnp.float64)
+    eps = 1e-6
+    fdU = (loss64(0.1 + eps, k064) - loss64(0.1 - eps, k064)) / (2 * eps)
+    np.testing.assert_allclose(gU32, float(fdU), rtol=2e-3)
+    dk = jnp.asarray(np.random.default_rng(2).standard_normal(k064.shape))
+    fdk = (loss64(0.1, k064 + eps * dk) - loss64(0.1, k064 - eps * dk)) \
+        / (2 * eps)
+    np.testing.assert_allclose(np.vdot(gk32, np.asarray(dk)), float(fdk),
+                               rtol=2e-3)
+
+
 def test_f32_coupled_spectrum_and_omega_budget():
     i64, pk64 = _run_coupled(True)
     i32, pk32 = _run_coupled(False)
