@@ -38,7 +38,7 @@ from . import rays
 
 __all__ = ["CoupledConfig", "CoupledSetup", "CoupledCarry", "setup_coupled",
            "coupled_flow_packet_step", "run_coupled_chunk", "ring_packet_ics",
-           "prepare_carry_windows"]
+           "prepare_carry_windows", "march_n_fields"]
 
 
 class CoupledConfig(NamedTuple):
@@ -71,6 +71,17 @@ class CoupledConfig(NamedTuple):
     # substeps in one Pallas kernel (zero per-stage gathers). Engages
     # above _WINDOW_MIN_NP packets; the XLA per-stage path below that.
     fused_march: bool = True
+    # Windows hold only (u, v); the kernel forms the velocity-gradient
+    # tensor by differentiating the Lagrange interpolant (3x less
+    # gather/window traffic; ~1.3e-7 relative gradient error at 512^2 —
+    # benchmarks/gradinterp_accuracy.py — below the f32 epsilon
+    # production runs live at). Turn off for bit-parity with the
+    # per-stage spectral-gradient path.
+    march_uv_windows: bool = True
+    # ONE take-gather per packet per flow step over both snapshots
+    # stacked on the window axis (halves gather indices — the step's
+    # bottleneck, PERF.md). Arithmetic is bit-identical to two gathers.
+    march_combined_gather: bool = True
 
 
 class CoupledSetup(NamedTuple):
@@ -154,11 +165,12 @@ def setup_coupled(cfg: CoupledConfig):
                   dealias=cfg.dealias, reference_quirks=cfg.reference_quirks)
 
     px0, pk0 = ring_packet_ics(cfg, grid)
+    march = build_march_spec(cfg, grid, dt, U0)
+    nf0 = march_n_fields(march, cfg.n_packets)
     fields0 = jax.jit(
-        lambda q: flow_from_qk(q, grid, Kd2).fields)(qk0)
+        lambda q: flow_from_qk(q, grid, Kd2, n_fields=nf0).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg_init(qk0), packet_x=px0,
                           packet_k=pk0, prev_fields=fields0)
-    march = build_march_spec(cfg, grid, dt, U0)
     setup = CoupledSetup(grid=grid, disp=disp, qg_params=qp, dt=dt,
                          n_steps=n_steps, packet_delay=packet_delay,
                          packet_step_start=packet_step_start, Fr=Fr, U0=U0,
@@ -175,11 +187,24 @@ def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
     if cfg.stepper not in ("rk23", "rk4", "symplectic"):
         return None
     margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx)
+    uv = getattr(cfg, "march_uv_windows", False)
     return pwin.MarchSpec(
         nx=grid.nx, ny=grid.ny, dx=grid.dx, dy=grid.dy,
         f=cfg.f, Cg=cfg.Cg, n_substeps=cfg.n_substeps,
         stepper=cfg.stepper, margin=margin, tiles_transposed=True,
-        use_pallas=jax.default_backend() != "cpu")
+        use_pallas=jax.default_backend() != "cpu",
+        nf=2 if uv else 6, grad_from_interp=uv,
+        combined_gather=getattr(cfg, "march_combined_gather", False))
+
+
+def march_n_fields(march, n_packets: int) -> int:
+    """Field-grid count the lock-step needs: the fused march with uv
+    windows (grad_from_interp) forms grad U in-kernel, so only (u, v)
+    grids are computed — the four gradient-grid inverse transforms of
+    grid_U.m are skipped. Every other path needs the full 6 stack."""
+    if march is not None and n_packets >= _interp._WINDOW_MIN_NP:
+        return march.nf
+    return 6
 
 
 def _substep_fn(name: str):
@@ -254,11 +279,22 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
         oi, oj = pwin.packet_cells(x[0], x[1], march)
         oip = pwin.pad_packet_axis(oi, B)
         ojp = pwin.pad_packet_axis(oj, B)
-        pw1 = pwin.gather_packet_windows(win1, oip, ojp, march)
-        pw2 = pwin.gather_packet_windows(win2, oip, ojp, march)
         xk = pwin.pad_packet_axis(jnp.concatenate([x, k], axis=0), B)
-        out, ov = pwin.fused_march(pw1, pw2, xk, oip, ojp, sub_dt,
-                                   march, march.use_pallas)
+        if march.combined_gather:
+            # Both snapshots' windows stacked on the K axis -> ONE
+            # take-gather per packet per flow step (the gather pays per
+            # INDEX on this TPU; see MarchSpec.combined_gather).
+            winc = jnp.concatenate(
+                [win1, win2], axis=-1 if march.tiles_transposed else 0)
+            pwc = pwin.gather_packet_windows(winc, oip, ojp, march)
+            dummy = jnp.zeros((1, 1), pwc.dtype)
+            out, ov = pwin.fused_march(pwc, dummy, xk, oip, ojp, sub_dt,
+                                       march, march.use_pallas)
+        else:
+            pw1 = pwin.gather_packet_windows(win1, oip, ojp, march)
+            pw2 = pwin.gather_packet_windows(win2, oip, ojp, march)
+            out, ov = pwin.fused_march(pw1, pw2, xk, oip, ojp, sub_dt,
+                                       march, march.use_pallas)
         px, pk = out[:2, :Np], out[2:, :Np]
         new_ov = jnp.max(ov[:, :Np] if ov.ndim > 1 else ov[:Np])
         overflow = (new_ov if carry.overflow is None
@@ -353,10 +389,12 @@ def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
                              cfg: CoupledConfig) -> CoupledCarry:
     """One-layer QG lock-step iteration (qgsw_raytrace.m:121-151)."""
     grid, qp = s.grid, s.qg_params
+    nf = march_n_fields(s.march, carry.packet_x.shape[-1])
     return lockstep_step(
         carry,
         flow_step_fn=lambda st: qg_step(st, grid, qp),
-        fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2).fields,
+        fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2,
+                                          n_fields=nf).fields,
         grid=grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
         n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march)
 

@@ -27,7 +27,8 @@ from jax import lax
 from ..ops.grid import SpectralGrid
 from .dispersion import Dispersion
 from .coupled import (CoupledCarry, lockstep_step, ring_packet_ics,
-                      prepare_carry_windows, build_march_spec)
+                      prepare_carry_windows, build_march_spec,
+                      march_n_fields)
 from .qg2 import (QG2Params, QG2Operators, qg2_init, qg2_step,
                   build_operators, initial_q2_ring, top_layer_flow,
                   max_speed2)
@@ -64,6 +65,8 @@ class Coupled2Config(NamedTuple):
     one_layer_quirk: bool = False       # packet-flow inversion quirk
     dealias: bool = False
     fused_march: bool = True            # see CoupledConfig.fused_march
+    march_uv_windows: bool = True       # see CoupledConfig
+    march_combined_gather: bool = True  # see CoupledConfig
 
 
 class Coupled2Setup(NamedTuple):
@@ -104,11 +107,12 @@ def setup_coupled2(cfg: Coupled2Config):
     ops = build_operators(grid, p, dt)
 
     px0, pk0 = ring_packet_ics(cfg, grid, seed=cfg.seed)
+    march = build_march_spec(cfg, grid, dt, U0)
+    nf0 = march_n_fields(march, cfg.n_packets)
     fields0 = jax.jit(lambda q: top_layer_flow(
-        q, grid, ops, p, cfg.one_layer_quirk).fields)(qk0)
+        q, grid, ops, p, cfg.one_layer_quirk, n_fields=nf0).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg2_init(qk0), packet_x=px0,
                           packet_k=pk0, prev_fields=fields0)
-    march = build_march_spec(cfg, grid, dt, U0)
     setup = Coupled2Setup(grid=grid, disp=disp, params=p, ops=ops, dt=dt,
                           n_steps=n_steps, packet_delay=packet_delay,
                           Fr=Fr, U0=U0, T=T, march=march)
@@ -118,11 +122,13 @@ def setup_coupled2(cfg: Coupled2Config):
 def coupled2_flow_packet_step(carry: CoupledCarry, s: Coupled2Setup,
                               cfg: Coupled2Config) -> CoupledCarry:
     """One two-layer lock-step iteration (qg2layersw_raytrace.m:152-197)."""
+    nf = march_n_fields(s.march, carry.packet_x.shape[-1])
     return lockstep_step(
         carry,
         flow_step_fn=lambda st: qg2_step(st, s.grid, s.ops, s.params),
         fields_fn=lambda st: top_layer_flow(
-            st.qk, s.grid, s.ops, s.params, cfg.one_layer_quirk).fields,
+            st.qk, s.grid, s.ops, s.params, cfg.one_layer_quirk,
+            n_fields=nf).fields,
         grid=s.grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
         n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march)
 

@@ -229,30 +229,38 @@ class AnalyticFlow:
 # Constructors from spectral state
 # ---------------------------------------------------------------------------
 
-def _stack_from_psik(psik, grid: SpectralGrid, shear: float = 0.0):
+def _stack_from_psik(psik, grid: SpectralGrid, shear: float = 0.0,
+                     n_fields: int = 6):
+    """n_fields=2 builds only (u, v) — the fused packet march with
+    uv windows (ops/pallas_window.MarchSpec.grad_from_interp) forms
+    grad U in-kernel, so the four gradient-grid inverse transforms
+    (half of grid_U.m's spectral work) are skipped entirely."""
     uk = -sp.ddy(psik, grid)
     vk = sp.ddx(psik, grid)
-    comps = jnp.stack([
-        uk, vk,
-        sp.ddx(uk, grid), sp.ddy(uk, grid),
-        sp.ddx(vk, grid), sp.ddy(vk, grid),
-    ])
-    fields = sp.to_grid(comps, grid)  # batched over the 6 components
+    if n_fields == 2:
+        comps = jnp.stack([uk, vk])
+    else:
+        comps = jnp.stack([
+            uk, vk,
+            sp.ddx(uk, grid), sp.ddy(uk, grid),
+            sp.ddx(vk, grid), sp.ddy(vk, grid),
+        ])
+    fields = sp.to_grid(comps, grid)  # batched over the components
     if shear:
         fields = fields.at[U].add(shear)
     return fields
 
 
 def flow_from_qk(qk, grid: SpectralGrid, Kd2: float, shear: float = 0.0,
-                 order: int = 2) -> GriddedFlow:
+                 order: int = 2, n_fields: int = 6) -> GriddedFlow:
     """QG PV -> velocity/gradient grids; reference grid_U
     (qg_flow_ray_trace/grid_U.m:1-18): psik = -qk/(K_d2 + K2), u = -psi_y,
     v = psi_x, plus optional uniform shear added to u."""
     denom = jnp.asarray(Kd2 + grid.K2)
     denom = jnp.where(denom == 0, 1.0, denom)  # guard k=0 when Kd2 = 0
     psik = -qk / denom
-    return GriddedFlow(fields=_stack_from_psik(psik, grid, shear), grid=grid,
-                       order=order)
+    return GriddedFlow(fields=_stack_from_psik(psik, grid, shear, n_fields),
+                       grid=grid, order=order)
 
 
 def flow_from_psik(psik, grid: SpectralGrid, order: int = 2) -> GriddedFlow:

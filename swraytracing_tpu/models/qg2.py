@@ -244,18 +244,21 @@ def simulate_qg2(state: QG2State, grid: SpectralGrid, ops: QG2Operators,
 # ---------------------------------------------------------------------------
 
 def top_layer_flow(qk, grid: SpectralGrid, ops: QG2Operators, p: QG2Params,
-                   one_layer_quirk: bool = False) -> GriddedFlow:
+                   one_layer_quirk: bool = False,
+                   n_fields: int = 6) -> GriddedFlow:
     """Velocity/gradient grids of the top layer for packet advection
     (qg2layersw_raytrace.m:185-189). Default: top layer of the true 2x2
     inversion + imposed shear. one_layer_quirk=True reproduces the
-    reference's accidental one-layer inversion psik = -qk1/(K_d2+K2)."""
+    reference's accidental one-layer inversion psik = -qk1/(K_d2+K2).
+    n_fields=2: only (u, v) — see fields._stack_from_psik."""
     if one_layer_quirk:
         denom = np.where(p.Kd2 + grid.K2 == 0, 1.0, p.Kd2 + grid.K2)
         psik_top = -qk[0] / jnp.asarray(denom)
     else:
         psik_top = _mat2(ops.B, qk)[0]
-    return GriddedFlow(fields=_stack_from_psik(psik_top, grid, p.shear),
-                       grid=grid)
+    return GriddedFlow(
+        fields=_stack_from_psik(psik_top, grid, p.shear, n_fields),
+        grid=grid)
 
 
 def max_speed2(qk, grid: SpectralGrid, ops: QG2Operators, p: QG2Params):

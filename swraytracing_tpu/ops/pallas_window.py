@@ -88,6 +88,21 @@ class MarchSpec(NamedTuple):
     tiles_transposed: bool = False # pw passed as (Np, K) gather rows
     interpret: bool = False        # Pallas interpreter mode (CPU tests)
     use_pallas: bool = True        # False = XLA reference forward (CPU)
+    # Windows carry only (u, v) (nf=2); the kernel evaluates the
+    # velocity-gradient tensor by DIFFERENTIATING the Lagrange
+    # interpolant (w'_i(fx) w_j(fy) / dx) instead of interpolating
+    # spectrally differentiated grids (grid_U.m:1-18). 3x smaller
+    # windows -> the gather (the step's bottleneck, PERF.md) shrinks;
+    # accuracy cost quantified in benchmarks/gradinterp_accuracy.py:
+    # ~1.3e-7 relative at 512^2 (vs 3e-9 for the spectral-gradient
+    # path) — below the f32 epsilon production runs live at.
+    grad_from_interp: bool = False
+    # Both snapshots' packet windows arrive in ONE gathered array,
+    # stacked on the K axis ((2K, Np), or (Np, 2K) tiles_transposed) —
+    # halves the number of gather indices per flow step (the take-
+    # gather costs per INDEX; two K-row gathers cost twice one 2K-row
+    # gather at small K). fused_march's pw2 argument is then a dummy.
+    combined_gather: bool = False
 
     @property
     def S(self) -> int:
@@ -123,6 +138,7 @@ def build_margin_windows(F, spec: MarchSpec):
     copies of the fields — contiguous writes, no relayout (the
     (ncells, K)-minor layout of interp.build_windows costs a 400 MB
     transpose per step at 512^2/margin-1)."""
+    F = F[:spec.nf]  # grad_from_interp (nf=2) keeps only (u, v)
     nf, nx, ny = F.shape
     SW = spec.SW
     lo = spec.order + spec.margin
@@ -233,6 +249,38 @@ def _lagrange_ws(fr, order: int):
     return ws
 
 
+def _lagrange_dws(fr, order: int):
+    """d/dfr of the S Lagrange basis weights (exact — the basis is a
+    degree-(S-1) polynomial): L_i'(fr) = sum_m Pi_{j != i,m}(fr - o_j)
+    / denom_i. Python-unrolled like _lagrange_ws; the physical
+    derivative needs a further 1/dx scale at the call site."""
+    offs = list(range(-order, order + 2))
+    denom = []
+    for i in offs:
+        d = 1.0
+        for j in offs:
+            if j != i:
+                d *= (i - j)
+        denom.append(d)
+    a = [fr - o for o in offs]
+    dws = []
+    for idx in range(len(offs)):
+        s = None
+        for m in range(len(offs)):
+            if m == idx:
+                continue
+            p = None
+            for j in range(len(offs)):
+                if j == idx or j == m:
+                    continue
+                p = a[j] if p is None else p * a[j]
+            if p is None:  # order 0: two nodes, constant derivative
+                p = jnp.ones_like(fr)
+            s = p if s is None else s + p
+        dws.append(s * (1.0 / denom[idx]))
+    return dws
+
+
 def _extended_weights(ws, d, spec: MarchSpec):
     """Place the S stencil weights into the SW-wide window at integer
     shift d (B,) in [-margin, margin]: row p of the result holds
@@ -282,8 +330,25 @@ def _eval_fields(pw1, pw2, x0, x1, alpha, oi, oj, spec: MarchSpec):
     w2 = wex[:, None, :] * wey[None, :, :]            # (SW, SW, B)
     one = jnp.asarray(1.0, pw1.dtype)
     v = ((one - alpha) * pw1 + alpha * pw2)           # blend
-    vals = (v * w2[None]).sum((1, 2))                 # (nf, B)
-    return vals, ov
+    if not spec.grad_from_interp:
+        vals = (v * w2[None]).sum((1, 2))             # (nf, B)
+        return vals, ov
+    # nf=2 windows (u, v): the velocity-gradient tensor comes from the
+    # DERIVATIVE of the Lagrange interpolant instead of interpolating
+    # spectrally differentiated grids (grid_U.m:1-18) — ~1.3e-7
+    # relative at 512^2 (benchmarks/gradinterp_accuracy.py), below the
+    # f32 epsilon production runs live at, and 3x less gather traffic.
+    dwex = _extended_weights(_lagrange_dws(fx, spec.order), di, spec)
+    dwey = _extended_weights(_lagrange_dws(fy, spec.order), dj, spec)
+    wdx2 = dwex[:, None, :] * wey[None, :, :]
+    wdy2 = wex[:, None, :] * dwey[None, :, :]
+    u = (v[0] * w2).sum((0, 1))
+    vv = (v[1] * w2).sum((0, 1))
+    ux = (v[0] * wdx2).sum((0, 1)) * (1.0 / spec.dx)
+    uy = (v[0] * wdy2).sum((0, 1)) * (1.0 / spec.dy)
+    vx = (v[1] * wdx2).sum((0, 1)) * (1.0 / spec.dx)
+    vy = (v[1] * wdy2).sum((0, 1)) * (1.0 / spec.dy)
+    return jnp.stack([u, vv, ux, uy, vx, vy]), ov
 
 
 def _march_core(pw1, pw2, x0, x1, k0, k1, oi, oj, sub_dt, spec: MarchSpec):
@@ -373,12 +438,23 @@ def _march_core(pw1, pw2, x0, x1, k0, k1, oi, oj, sub_dt, spec: MarchSpec):
 def march_reference(pw1, pw2, xk, oi, oj, sub_dt, spec: MarchSpec):
     """Pure-XLA fused march over all packets at once. pw*: (K, Np) (or
     (Np, K) when spec.tiles_transposed); xk (4, Np) = [x, y, kx, ky];
-    returns (xk_out (4, Np), overflow (Np,) int32)."""
-    if spec.tiles_transposed:
-        pw1 = pw1.T
-        pw2 = pw2.T
-    p1 = pw1.reshape(spec.nf, spec.SW, spec.SW, -1)
-    p2 = pw2.reshape(spec.nf, spec.SW, spec.SW, -1)
+    returns (xk_out (4, Np), overflow (Np,) int32).
+
+    combined_gather: pw1 carries BOTH snapshots stacked on the K axis
+    ((2K, Np) / (Np, 2K)); pw2 is ignored (pass any array)."""
+    if spec.grad_from_interp and spec.nf != 2:
+        raise ValueError("grad_from_interp windows hold (u, v): nf must "
+                         f"be 2, got {spec.nf}")
+    if spec.combined_gather:
+        w = pw1.T if spec.tiles_transposed else pw1          # (2K, Np)
+        p = w.reshape(2, spec.nf, spec.SW, spec.SW, -1)
+        p1, p2 = p[0], p[1]
+    else:
+        if spec.tiles_transposed:
+            pw1 = pw1.T
+            pw2 = pw2.T
+        p1 = pw1.reshape(spec.nf, spec.SW, spec.SW, -1)
+        p2 = pw2.reshape(spec.nf, spec.SW, spec.SW, -1)
     r = _march_core(p1, p2, xk[0], xk[1], xk[2], xk[3], oi, oj,
                     sub_dt, spec)
     return jnp.stack(r[:4]), r[4]
@@ -388,18 +464,25 @@ def march_reference(pw1, pw2, xk, oi, oj, sub_dt, spec: MarchSpec):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _march_kernel(dt_ref, pw1_ref, pw2_ref, xk_ref, o_ref,
-                  out_ref, ov_ref, *, spec: MarchSpec):
+def _march_kernel(dt_ref, *refs, spec: MarchSpec):
     dt = dt_ref[0, 0]
-    if spec.tiles_transposed:
-        p1 = pw1_ref[:].T
-        p2 = pw2_ref[:].T
+    if spec.combined_gather:
+        pwc_ref, xk_ref, o_ref, out_ref, ov_ref = refs
+        pwc = pwc_ref[:].T if spec.tiles_transposed else pwc_ref[:]
+        B = pwc.shape[-1]
+        p = pwc.reshape(2, spec.nf, spec.SW, spec.SW, B)
+        p1, p2 = p[0], p[1]
     else:
-        p1 = pw1_ref[:]
-        p2 = pw2_ref[:]
-    B = p1.shape[-1]
-    p1 = p1.reshape(spec.nf, spec.SW, spec.SW, B)
-    p2 = p2.reshape(spec.nf, spec.SW, spec.SW, B)
+        pw1_ref, pw2_ref, xk_ref, o_ref, out_ref, ov_ref = refs
+        if spec.tiles_transposed:
+            p1 = pw1_ref[:].T
+            p2 = pw2_ref[:].T
+        else:
+            p1 = pw1_ref[:]
+            p2 = pw2_ref[:]
+        B = p1.shape[-1]
+        p1 = p1.reshape(spec.nf, spec.SW, spec.SW, B)
+        p2 = p2.reshape(spec.nf, spec.SW, spec.SW, B)
     xk = xk_ref[:]
     o = o_ref[:]
     x0, x1, k0, k1, ov = _march_core(p1, p2, xk[0], xk[1], xk[2], xk[3],
@@ -410,12 +493,14 @@ def _march_kernel(dt_ref, pw1_ref, pw2_ref, xk_ref, o_ref,
 
 def march_pallas(pw1, pw2, xk, oi, oj, sub_dt, spec: MarchSpec):
     """Pallas-compiled fused march. Packet count must be a multiple of
-    spec.block (pad with pad_packet_axis). Inputs as march_reference."""
+    spec.block (pad with pad_packet_axis). Inputs as march_reference;
+    under combined_gather only pw1 (both snapshots, 2K rows) is fed to
+    the kernel."""
     Np = xk.shape[-1]
     B = spec.block
     assert Np % B == 0, (Np, B)
     nblk = Np // B
-    K = spec.K
+    K = 2 * spec.K if spec.combined_gather else spec.K
     dt_arr = jnp.asarray(sub_dt, xk.dtype).reshape(1, 1)
     o = jnp.stack([oi, oj]).astype(jnp.int32)
 
@@ -426,14 +511,15 @@ def march_pallas(pw1, pw2, xk, oi, oj, sub_dt, spec: MarchSpec):
         pw_spec = pl.BlockSpec((K, B), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
 
+    pw_specs = [pw_spec] if spec.combined_gather else [pw_spec, pw_spec]
+    pw_args = (pw1,) if spec.combined_gather else (pw1, pw2)
     out, ov = pl.pallas_call(
         functools.partial(_march_kernel, spec=spec),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pw_spec,
-            pw_spec,
+            *pw_specs,
             pl.BlockSpec((4, B), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda i: (0, i),
@@ -450,7 +536,7 @@ def march_pallas(pw1, pw2, xk, oi, oj, sub_dt, spec: MarchSpec):
             jax.ShapeDtypeStruct((1, Np), jnp.int32),
         ),
         interpret=spec.interpret,
-    )(dt_arr, pw1, pw2, xk, o)
+    )(dt_arr, *pw_args, xk, o)
     return out, ov[0]
 
 

@@ -147,8 +147,11 @@ def test_windowed_coupled_matches_and_shards(monkeypatch):
     one device and sharded over 8 packet shards."""
     from swraytracing_tpu.ops import interp as interp_mod
 
+    # fused_march off: this test targets the WINDOWED INTERP path (the
+    # below-march fallback); the fused march has its own equivalence
+    # tests in test_pallas_window.py.
     cfg = CoupledConfig(nx=32, n_packets=64, T_Fr_days=10.0,
-                        packet_delay_days=0.1)
+                        packet_delay_days=0.1, fused_march=False)
     s, carry = setup_coupled(cfg)
     run = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
                                     n_saves=3))
