@@ -70,9 +70,11 @@ for K in (128, 256, 384):
 # the actual production choice: two K=128 gathers vs one K=256 gather
 W1 = devnorm((NCELLS, 128))
 W2 = devnorm((NCELLS, 128))
-timed("two (ncells,128)[starts] gathers",
-      jax.jit(lambda a, b, s: (a.at[s].get(mode="promise_in_bounds"),
-                               b.at[s].get(mode="promise_in_bounds"))),
+# full-width add so XLA cannot narrow either gather (output crosses
+# the jit boundary at full shape)
+timed("two (ncells,128)[starts] gathers (+)",
+      jax.jit(lambda a, b, s: a.at[s].get(mode="promise_in_bounds")
+              + b.at[s].get(mode="promise_in_bounds")),
       W1, W2, starts)
 Wc = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=-1))(W1, W2)
 timed("one (ncells,256)[starts] gather",
