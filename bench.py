@@ -98,4 +98,28 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # One failed transfer poisons the whole axon client (CLAUDE.md),
+        # so an in-process retry cannot recover — re-exec ONCE in a
+        # fresh process (fresh client, fresh tunnel connection). The
+        # setup-time fetches already do bounded in-process retries for
+        # transients that don't poison (utils/host.retry_fetch_float).
+        import os
+        import sys
+        import traceback
+        if os.environ.get("BENCH_RETRIED") != "1":
+            traceback.print_exc()
+            print("bench.py: attempt failed; re-executing once in a "
+                  "fresh process", file=sys.stderr, flush=True)
+            os.environ["BENCH_RETRIED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(json.dumps({
+            "metric": "bench-error",
+            "value": 0.0,
+            "unit": "packet-steps/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        raise

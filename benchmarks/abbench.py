@@ -38,7 +38,7 @@ timed("carried windows", runB, carry)
 
 # A: per-step rebuild (old behavior) — defeat the hoist
 orig = C.prepare_carry_windows
-C.prepare_carry_windows = lambda c, remat=False: c
+C.prepare_carry_windows = lambda c, *a, **k: c
 C2.prepare_carry_windows = C.prepare_carry_windows
 runA = jax.jit(functools.partial(C2.run_coupled2_chunk, s=s, cfg=cfg,
                                  n_saves=1))

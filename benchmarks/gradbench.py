@@ -46,8 +46,7 @@ def timed(name, fn, *a, n=2):
 
 for name, fused, minnp in [("fused-march", True, 65536),
                            ("stencil (legacy)", False, 1 << 62)]:
-    interp._WINDOW_MIN_NP = minnp
-    c = cfg._replace(fused_march=fused)
+    c = cfg._replace(fused_march=fused, window_min_np=minnp)
     s, carry = setup_coupled2(c)
 
     def loss(pk0, carry, s=s, c=c):

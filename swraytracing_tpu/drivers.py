@@ -35,13 +35,28 @@ __all__ = ["qgsw_raytrace", "qg2layersw_raytrace", "run_sweep",
 
 def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                  max_steps, checkpoint_every, resume, log, Kd2,
-                 cfl_recheck=None):
+                 cfl_recheck=None, remargin=None, prev_fields_fn=None,
+                 max_margin_retries=2):
     """Shared chunked execution + I/O loop for both coupled drivers.
 
     cfl_recheck: optional (carry, run) -> run hook called between
     chunks; used by the two-layer driver to rebuild the exponential
     operators with a smaller dt when the flow speeds up
     (qg2layersw_raytrace.m:154-165 semantics at chunk granularity).
+
+    remargin: optional (overflow_cells) -> run hook. When the fused
+    march reports a margin overflow (a packet out-drifted its gathered
+    window within one flow step — its stencil was clamped, physics
+    wrong), the chunk is DISCARDED, the march spec rebuilt with a
+    margin covering the observed drift, and the chunk re-run from its
+    start state — at most `max_margin_retries` times per chunk, after
+    which (or when no hook is given) the run halts like a blow-up
+    rather than writing silently-clamped frames.
+
+    prev_fields_fn: flow_state -> (nf, nx, ny) velocity grids matching
+    this configuration's march path; used to reconcile checkpoints
+    saved under a different march config (prev_fields nf mismatch) on
+    resume.
     """
     s = setup
     rd = RunDir(out_dir)
@@ -72,6 +87,22 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
         carry = restore_state(ck, carry0, to_device=True)
         chunk0 = int(ck.split("_")[-1].split(".")[0])
         log(f"resumed from {ck} at chunk {chunk0}")
+        if carry.prev_fields.shape != carry0.prev_fields.shape:
+            # Checkpoint written under a different march configuration
+            # (uv windows carry (2,nx,ny), other paths (6,nx,ny)):
+            # prev_fields is a pure function of the flow state, so
+            # rebuild it for THIS configuration instead of trace-failing
+            # (checkpoints stay config-portable).
+            if prev_fields_fn is None:
+                raise ValueError(
+                    f"checkpoint prev_fields {carry.prev_fields.shape} "
+                    f"does not match this configuration's "
+                    f"{carry0.prev_fields.shape} and no prev_fields_fn "
+                    "was provided to reconcile it")
+            log(f"checkpoint prev_fields {carry.prev_fields.shape} -> "
+                f"rebuilt as {carry0.prev_fields.shape} for this config")
+            carry = carry.replace(prev_fields=jax.jit(prev_fields_fn)(
+                carry.flow_state))
 
     pv_frame = chunk0 + 1
     packet_frame = chunk0 * saves_per_pv + 1
@@ -90,7 +121,10 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
         binio.write_field(np.asarray(0.0), rd.file("pv_time"), 1)
 
     t_start = time.time()
-    for chunk in range(chunk0, n_chunks):
+    chunk = chunk0
+    margin_retries = 0
+    while chunk < n_chunks:
+        chunk_start_carry = carry
         tc = time.time()
         carry, (px, pk, ts) = run(carry)
         # Sync with a host fetch: jax.block_until_ready is a no-op on
@@ -109,14 +143,38 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             break
 
         # Fused-march margin check: overflow > 0 means some packet out-
-        # drifted its gathered window this chunk (its stencil was clamped
-        # — results suspect; required_margin's headroom was exceeded).
+        # drifted its gathered window within a flow step this chunk (its
+        # stencil was clamped — the chunk's trajectories are WRONG).
+        # Discard the chunk, widen the margin to cover the observed
+        # drift, and re-run it from the chunk-start state; halt (like a
+        # blow-up) if no remargin hook or retries are exhausted — never
+        # write silently-clamped frames.
         if getattr(carry, "overflow", None) is not None:
             ov = int(fetch(carry.overflow))
             if ov > 0:
-                log(f"WARNING: fused-march margin overflow {ov} cells "
-                    f"at chunk {chunk}; increase MarchSpec.margin")
-                rd.log_metrics(chunk=chunk, march_overflow=ov)
+                rd.log_metrics(chunk=chunk, march_overflow=ov,
+                               chunk_discarded=True)
+                if remargin is not None and margin_retries < \
+                        max_margin_retries:
+                    margin_retries += 1
+                    log(f"margin overflow {ov} cells at chunk {chunk}; "
+                        f"widening march margin and re-running the "
+                        f"chunk (retry {margin_retries})")
+                    run = remargin(ov)
+                    # stale prev_win (old window K) is rebuilt by
+                    # prepare_carry_windows inside the new run fn
+                    carry = chunk_start_carry
+                    continue
+                log(f"HALT: fused-march margin overflow {ov} cells at "
+                    f"chunk {chunk} "
+                    f"{'(retries exhausted)' if remargin else ''}; "
+                    "frames for this chunk were NOT written")
+                carry = chunk_start_carry
+                break
+            # Reset the running max so the NEXT chunk's overflows are
+            # distinguishable from this one's (ADVICE round 2).
+            carry = carry.replace(
+                overflow=jax.numpy.zeros((), jax.numpy.int32))
 
         px_np, pk_np, ts_np = fetch((px, pk, ts))
         for j in range(px_np.shape[0]):
@@ -151,6 +209,8 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             pct = 100.0 * (chunk + 1) / n_chunks
             log(f"{pct:6.2f}%  t={float(ts_np[-1]):.3f} "
                 f"({steps_per_chunk / elapsed:.1f} steps/s)")
+        chunk += 1
+        margin_retries = 0
 
     rd.finish_run_log()
     log(f"done: {time.time() - t_start:.1f} s wall")
@@ -161,10 +221,11 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                   T_Fr_days=6000.0, packet_delay_days=1000.0, U_g=0.4,
                   f=3.0, Cg=1.0, out_dir="data", *, max_steps=None,
                   checkpoint_every=50, resume=False, verbose=True,
-                  **cfg_overrides):
+                  max_margin_retries=2, **cfg_overrides):
     """One-layer coupled production run (qgsw_raytrace.m:1 signature)."""
     from .models.coupled import (CoupledConfig, setup_coupled,
-                                 run_coupled_chunk)
+                                 run_coupled_chunk, march_n_fields)
+    from .models.fields import flow_from_qk
 
     log = print if verbose else (lambda *_: None)
     cfg = CoupledConfig(nx=nx, n_packets=Npackets,
@@ -174,24 +235,45 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         Cg=Cg, **cfg_overrides)
     s, carry0 = setup_coupled(cfg)
     saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
-    run = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
-                                    n_saves=saves_per_pv))
+    state = {"s": s}
+
+    def make_run():
+        return jax.jit(functools.partial(run_coupled_chunk, s=state["s"],
+                                         cfg=cfg, n_saves=saves_per_pv))
+
+    def remargin(ov_cells):
+        sn = state["s"]
+        if sn.march is None:
+            return make_run()
+        new_m = sn.march.margin + int(ov_cells) + 1
+        log(f"march margin {sn.march.margin} -> {new_m}")
+        state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
+        return make_run()
+
+    run = make_run()
     Kd2 = cfg.f / cfg.Cg
     fields_of_state = lambda st: sp.to_grid(st.qk, s.grid)
+    prev_fields_fn = lambda st: flow_from_qk(
+        st.qk, s.grid, Kd2, n_fields=march_n_fields(s.march)).fields
     log(f"qgsw_raytrace: nx={nx} Np={Npackets} dt={s.dt:.5f} "
         f"Fr={s.Fr:.4f} n_steps={s.n_steps}")
     return _run_coupled(s, carry0, cfg, run, out_dir, fields_of_state,
-                        max_steps, checkpoint_every, resume, log, Kd2)
+                        max_steps, checkpoint_every, resume, log, Kd2,
+                        remargin=remargin, prev_fields_fn=prev_fields_fn,
+                        max_margin_retries=max_margin_retries)
 
 
 def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         T_Fr_days=6000.0, packet_delay_days=1000.0,
                         U_g=0.4, f=3.0, Cg=1.0, out_dir="data2", *,
                         max_steps=None, checkpoint_every=50, resume=False,
-                        verbose=True, **cfg_overrides):
+                        verbose=True, max_margin_retries=2,
+                        **cfg_overrides):
     """Two-layer coupled production run (qg2layersw_raytrace.m:1)."""
+    from .models.coupled import march_n_fields
     from .models.coupled2 import (Coupled2Config, setup_coupled2,
                                   run_coupled2_chunk)
+    from .models.qg2 import top_layer_flow
 
     log = print if verbose else (lambda *_: None)
     cfg = Coupled2Config(nx=nx, n_packets=Npackets,
@@ -210,31 +292,53 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
 
     def cfl_recheck(carry, run):
         """Rebuild exp(dt L) with halved-CFL dt when the flow outruns
-        the current step (qg2layersw_raytrace.m:154-165)."""
+        the current step (qg2layersw_raytrace.m:154-165). The march
+        margin is re-sized from the RUNNING max speed at the same time
+        (not the setup-time 3x headroom guess), never shrinking below a
+        width an earlier overflow forced."""
+        from .models.coupled import build_march_spec
         from .models.qg2 import build_operators, max_speed2
 
         sn = state["s"]
-        from .utils.host import fetch_float
-        U0 = fetch_float(jax.jit(lambda q: max_speed2(
-            q, sn.grid, sn.ops, sn.params))(carry.flow_state.qk))
+        from .utils.host import retry_fetch_float
+        U0 = retry_fetch_float(jax.jit(lambda q: max_speed2(
+            q, sn.grid, sn.ops, sn.params)), carry.flow_state.qk)
         cfl_dt = cfg.CFL_fraction * sn.grid.dx / max(U0, 1e-12)
         if cfl_dt < sn.dt or sn.dt < cfl_dt / 4.0:
             new_dt = 0.5 * cfl_dt
             log(f"CFL recheck: max|u|={U0:.4f}, dt {sn.dt:.5f} -> "
                 f"{new_dt:.5f}; rebuilding operators")
             ops = build_operators(sn.grid, sn.params, new_dt)
+            march = build_march_spec(cfg, sn.grid, new_dt, U0)
+            if march is not None and sn.march is not None:
+                march = march._replace(
+                    margin=max(march.margin, sn.march.margin))
             state["s"] = sn._replace(ops=ops, dt=new_dt, U0=U0,
-                                     Fr=U0 / cfg.Cg)
+                                     Fr=U0 / cfg.Cg, march=march)
             return make_run(state["s"])
         return run
 
+    def remargin(ov_cells):
+        sn = state["s"]
+        if sn.march is None:
+            return make_run(sn)
+        new_m = sn.march.margin + int(ov_cells) + 1
+        log(f"march margin {sn.march.margin} -> {new_m}")
+        state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
+        return make_run(state["s"])
+
     run = make_run(s)
+    prev_fields_fn = lambda st: top_layer_flow(
+        st.qk, s.grid, s.ops, s.params, cfg.one_layer_quirk,
+        n_fields=march_n_fields(s.march)).fields
     fields_of_state = lambda st: sp.to_grid(st.qk, s.grid)  # (2, nx, ny)
     log(f"qg2layersw_raytrace: nx={nx} Np={Npackets} dt={s.dt:.5f} "
         f"Fr={s.Fr:.4f} n_steps={s.n_steps}")
     return _run_coupled(s, carry0, cfg, run, out_dir, fields_of_state,
                         max_steps, checkpoint_every, resume, log,
-                        cfg.f / cfg.Cg, cfl_recheck=cfl_recheck)
+                        cfg.f / cfg.Cg, cfl_recheck=cfl_recheck,
+                        remargin=remargin, prev_fields_fn=prev_fields_fn,
+                        max_margin_retries=max_margin_retries)
 
 
 # SLURM sweep table equivalent (/root/reference/parameters.txt:1-21):

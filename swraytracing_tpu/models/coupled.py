@@ -38,7 +38,7 @@ from . import rays
 
 __all__ = ["CoupledConfig", "CoupledSetup", "CoupledCarry", "setup_coupled",
            "coupled_flow_packet_step", "run_coupled_chunk", "ring_packet_ics",
-           "prepare_carry_windows", "march_n_fields"]
+           "prepare_carry_windows", "march_n_fields", "window_threshold"]
 
 
 class CoupledConfig(NamedTuple):
@@ -69,8 +69,17 @@ class CoupledConfig(NamedTuple):
     # Fused packet march (ops/pallas_window.py): gather each packet's
     # margin-widened stencil window ONCE per flow step and run all
     # substeps in one Pallas kernel (zero per-stage gathers). Engages
-    # above _WINDOW_MIN_NP packets; the XLA per-stage path below that.
+    # at n_packets >= window_min_np; the XLA per-stage path below that.
     fused_march: bool = True
+    # Packet count above which window-based paths engage (both the fused
+    # march and the windowed-interp fallback). The window build costs
+    # ~27 ms/snapshot at 512^2 plus (S*S)x field memory and only pays
+    # off once the per-eval gather dominates (ops/interp._WINDOW_MIN_NP
+    # measurement). Engagement is decided ONCE, at setup_coupled — the
+    # carry's pytree structure (prev_fields nf, window slot) depends on
+    # it, so it must never be re-read mid-run (a mutable module global
+    # here caused the round-2 MULTICHIP regression).
+    window_min_np: int = 65536
     # Windows hold only (u, v); the kernel forms the velocity-gradient
     # tensor by differentiating the Lagrange interpolant (3x less
     # gather/window traffic; ~1.3e-7 relative gradient error at 512^2 —
@@ -82,6 +91,10 @@ class CoupledConfig(NamedTuple):
     # stacked on the window axis (halves gather indices — the step's
     # bottleneck, PERF.md). Arithmetic is bit-identical to two gathers.
     march_combined_gather: bool = True
+    # Explicit march margin (cells) overriding required_margin's CFL
+    # sizing; None = size from dt and the initial max speed. Drivers
+    # widen the margin automatically when the kernel reports overflow.
+    march_margin: int | None = None
 
 
 class CoupledSetup(NamedTuple):
@@ -103,7 +116,13 @@ class CoupledCarry:
     flow_state: QGState
     packet_x: jnp.ndarray        # (2, Np) coordinate-first (TPU lanes)
     packet_k: jnp.ndarray        # (2, Np)
-    prev_fields: jnp.ndarray     # (6, nx, ny) grid_U of previous step
+    # (nf, nx, ny) grid_U fields of the previous step. nf is fixed at
+    # setup by march_n_fields: 6 ([u, v, u_x, u_y, v_x, v_y]) on every
+    # path except the fused march with uv windows, which carries only
+    # (u, v) (nf=2; grad U is formed in-kernel). Checkpoints record nf
+    # implicitly via this shape; drivers reconcile on resume when the
+    # resuming config implies a different nf.
+    prev_fields: jnp.ndarray
     # Prebuilt interpolation windows of prev_fields (ops/interp.
     # build_windows, or ops/pallas_window.build_gather_windows on the
     # fused-march path), carried across flow steps so each lock-step
@@ -147,10 +166,11 @@ def setup_coupled(cfg: CoupledConfig):
 
     # jit: the axon TPU backend cannot dispatch FFTs eagerly; fetch via
     # the laundering helper (complex-input executables' output buffers
-    # cannot be host-copied directly there)
-    from ..utils.host import fetch_float
-    U0 = fetch_float(jax.jit(max_speed, static_argnums=(1, 2))(qk0, grid,
-                                                               Kd2))
+    # cannot be host-copied directly there), with a bounded retry for
+    # transient tunnel drops (BENCH_r02 postmortem).
+    from ..utils.host import retry_fetch_float
+    U0 = retry_fetch_float(
+        jax.jit(max_speed, static_argnums=(1, 2)), qk0, grid, Kd2)
     Fr = U0 / cfg.Cg
     T_days = cfg.T_Fr_days / cfg.f
     T = T_days / Fr**2
@@ -166,7 +186,7 @@ def setup_coupled(cfg: CoupledConfig):
 
     px0, pk0 = ring_packet_ics(cfg, grid)
     march = build_march_spec(cfg, grid, dt, U0)
-    nf0 = march_n_fields(march, cfg.n_packets)
+    nf0 = march_n_fields(march)
     fields0 = jax.jit(
         lambda q: flow_from_qk(q, grid, Kd2, n_fields=nf0).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg_init(qk0), packet_x=px0,
@@ -181,12 +201,22 @@ def setup_coupled(cfg: CoupledConfig):
 def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
     """MarchSpec for the fused packet march, margin sized to the CFL
     step (required_margin); Pallas forward on accelerators, XLA
-    reference forward on CPU."""
+    reference forward on CPU.
+
+    Returns None when the march does not engage — fused_march off, an
+    incompatible stepper, or n_packets below window_min_np. Engagement
+    is decided HERE, once: `march is not None` is the single source of
+    truth for the fused path everywhere downstream (lockstep_step,
+    march_n_fields, prepare_carry_windows)."""
     if not getattr(cfg, "fused_march", False):
         return None
     if cfg.stepper not in ("rk23", "rk4", "symplectic"):
         return None
-    margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx)
+    if cfg.n_packets < window_threshold(cfg):
+        return None
+    margin = getattr(cfg, "march_margin", None)
+    if margin is None:
+        margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx)
     uv = getattr(cfg, "march_uv_windows", False)
     return pwin.MarchSpec(
         nx=grid.nx, ny=grid.ny, dx=grid.dx, dy=grid.dy,
@@ -197,14 +227,23 @@ def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
         combined_gather=getattr(cfg, "march_combined_gather", False))
 
 
-def march_n_fields(march, n_packets: int) -> int:
+def window_threshold(cfg) -> int:
+    """The engagement threshold for window-based paths, from the config
+    (falling back to ops/interp's measured default for configs predating
+    the field)."""
+    return getattr(cfg, "window_min_np", _interp._WINDOW_MIN_NP)
+
+
+def march_n_fields(march, n_packets: int | None = None) -> int:
     """Field-grid count the lock-step needs: the fused march with uv
     windows (grad_from_interp) forms grad U in-kernel, so only (u, v)
     grids are computed — the four gradient-grid inverse transforms of
-    grid_U.m are skipped. Every other path needs the full 6 stack."""
-    if march is not None and n_packets >= _interp._WINDOW_MIN_NP:
-        return march.nf
-    return 6
+    grid_U.m are skipped. Every other path needs the full 6 stack.
+
+    `march is None` means the fused path is disengaged (build_march_spec
+    decides once, at setup); n_packets is accepted for backwards
+    compatibility but no longer consulted."""
+    return march.nf if march is not None else 6
 
 
 def _substep_fn(name: str):
@@ -219,7 +258,8 @@ def _substep_fn(name: str):
 
 def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
                   dt, packet_delay, n_substeps: int, stepper: str,
-                  march: pwin.MarchSpec | None = None) -> CoupledCarry:
+                  march: pwin.MarchSpec | None = None,
+                  window_min_np: int | None = None) -> CoupledCarry:
     """Generic lock-step iteration (qgsw_raytrace.m:121-151 and
     qg2layersw_raytrace.m:152-197): advance the flow one step, rebuild
     velocity grids, sub-cycle packets against the time-blended snapshots.
@@ -250,13 +290,37 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     Args:
       flow_step_fn: flow_state -> flow_state (one solver step; must
         advance .t).
-      fields_fn: flow_state -> (6, nx, ny) stacked velocity/gradients.
+      fields_fn: flow_state -> (nf, nx, ny) stacked velocity/gradients
+        (nf = march.nf on the fused path, 6 otherwise — march_n_fields).
+      march: fused-march spec, or None when disengaged. Engagement was
+        decided at setup (build_march_spec); this function trusts that
+        decision and verifies the carry matches it.
+      window_min_np: threshold for the windowed-interp fallback path
+        (non-march); defaults to ops/interp._WINDOW_MIN_NP. Pass the
+        config's value so path choice is a pure function of the config.
     """
+    if window_min_np is None:
+        window_min_np = _interp._WINDOW_MIN_NP
     new_state = flow_step_fn(carry.flow_state)
     fields2 = fields_fn(new_state)
     Np = carry.packet_x.shape[-1]
 
-    if march is not None and Np >= _interp._WINDOW_MIN_NP:
+    exp_nf = march_n_fields(march)
+    if carry.prev_fields.shape[0] != exp_nf:
+        raise ValueError(
+            f"carry.prev_fields holds {carry.prev_fields.shape[0]} field "
+            f"grids but this configuration's path needs {exp_nf} "
+            f"(march {'engaged' if march is not None else 'disengaged'}"
+            f"{f', nf={march.nf}' if march is not None else ''}). The "
+            "carry was built under a different march/window configuration "
+            "— rebuild it with setup_coupled/setup_coupled2 or reconcile "
+            "prev_fields (drivers do this on checkpoint resume).")
+    if fields2.shape[0] != exp_nf:
+        raise ValueError(
+            f"fields_fn produced {fields2.shape[0]} field grids but the "
+            f"path needs {exp_nf}; pass n_fields=march_n_fields(march).")
+
+    if march is not None:
         assert march.stepper == stepper and march.n_substeps == n_substeps, \
             ("MarchSpec built for a different stepper configuration: "
              f"{march.stepper} x{march.n_substeps} vs {stepper} x"
@@ -305,7 +369,7 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
                             prev_win=out_win, overflow=overflow)
 
     win2 = None
-    if Np >= _interp._WINDOW_MIN_NP:
+    if Np >= window_min_np:
         # Large packet counts: prebuild interpolation windows so every
         # substage RHS does one gather index per packet instead of 36
         # (ops/interp.build_windows — 8.5x on TPU). Only the NEW
@@ -350,20 +414,24 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
 
 
 def prepare_carry_windows(carry: CoupledCarry, remat: bool = False,
-                          march: pwin.MarchSpec | None = None
+                          march: pwin.MarchSpec | None = None,
+                          window_min_np: int | None = None
                           ) -> CoupledCarry:
     """Make the carry's window/overflow slots consistent with the path
     lockstep_step will take, so scan/fori_loop bodies are
-    structure-stable. Forward runs above _WINDOW_MIN_NP packets get
-    prev_fields' windows prebuilt (each step then builds windows only
-    for its new snapshot); the builder follows the path (margin windows
-    for the fused march, stencil windows otherwise). remat
-    (differentiable) runs strip the slot: jax.checkpoint saves step
-    inputs as residuals, and carrying the window array would cost
-    ~226-400 MB per step at 512^2 — window building stays internal to
-    the step and is recomputed in the backward sweep instead."""
-    engaged = carry.packet_x.shape[-1] >= _interp._WINDOW_MIN_NP
-    march_on = march is not None and engaged
+    structure-stable. Forward runs on a window path (fused march, or
+    windowed interp above window_min_np packets) get prev_fields'
+    windows prebuilt (each step then builds windows only for its new
+    snapshot); the builder follows the path (margin windows for the
+    fused march, stencil windows otherwise). remat (differentiable)
+    runs strip the slot: jax.checkpoint saves step inputs as residuals,
+    and carrying the window array would cost ~226-400 MB per step at
+    512^2 — window building stays internal to the step and is
+    recomputed in the backward sweep instead."""
+    if window_min_np is None:
+        window_min_np = _interp._WINDOW_MIN_NP
+    march_on = march is not None
+    engaged = march_on or carry.packet_x.shape[-1] >= window_min_np
     want_ov = march_on
     if want_ov and carry.overflow is None:
         carry = carry.replace(overflow=jnp.zeros((), jnp.int32))
@@ -373,10 +441,16 @@ def prepare_carry_windows(carry: CoupledCarry, remat: bool = False,
     if use_win:
         build = ((lambda f: pwin.build_gather_windows(f, march))
                  if march_on else _interp.build_windows)
-        expected_cols = march.K if march_on else None
         win = carry.prev_win
-        rebuild = win is None or (expected_cols is not None
-                                  and win.shape[-1] != expected_cols)
+        if march_on and win is not None:
+            # Stale-window check must follow the window layout:
+            # tiles_transposed stores (ncells, K), otherwise (K, ncells)
+            # (ADVICE round 2: comparing shape[-1] to K under the
+            # untransposed layout compared ncells to K).
+            k_ax = -1 if march.tiles_transposed else 0
+            rebuild = win.shape[k_ax] != march.K
+        else:
+            rebuild = win is None
         if rebuild:
             return carry.replace(prev_win=build(carry.prev_fields))
         return carry
@@ -389,14 +463,15 @@ def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
                              cfg: CoupledConfig) -> CoupledCarry:
     """One-layer QG lock-step iteration (qgsw_raytrace.m:121-151)."""
     grid, qp = s.grid, s.qg_params
-    nf = march_n_fields(s.march, carry.packet_x.shape[-1])
+    nf = march_n_fields(s.march)
     return lockstep_step(
         carry,
         flow_step_fn=lambda st: qg_step(st, grid, qp),
         fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2,
                                           n_fields=nf).fields,
         grid=grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
-        n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march)
+        n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march,
+        window_min_np=window_threshold(cfg))
 
 
 def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
@@ -418,7 +493,8 @@ def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
     step = lambda cc: coupled_flow_packet_step(cc, s, cfg)
     if remat:
         step = jax.checkpoint(step)
-    carry = prepare_carry_windows(carry, remat, s.march)
+    carry = prepare_carry_windows(carry, remat, s.march,
+                                  window_threshold(cfg))
 
     def one_save(c, _):
         def body(i, cc):

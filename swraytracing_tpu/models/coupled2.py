@@ -28,7 +28,7 @@ from ..ops.grid import SpectralGrid
 from .dispersion import Dispersion
 from .coupled import (CoupledCarry, lockstep_step, ring_packet_ics,
                       prepare_carry_windows, build_march_spec,
-                      march_n_fields)
+                      march_n_fields, window_threshold)
 from .qg2 import (QG2Params, QG2Operators, qg2_init, qg2_step,
                   build_operators, initial_q2_ring, top_layer_flow,
                   max_speed2)
@@ -67,6 +67,8 @@ class Coupled2Config(NamedTuple):
     fused_march: bool = True            # see CoupledConfig.fused_march
     march_uv_windows: bool = True       # see CoupledConfig
     march_combined_gather: bool = True  # see CoupledConfig
+    window_min_np: int = 65536          # see CoupledConfig.window_min_np
+    march_margin: int | None = None     # see CoupledConfig.march_margin
 
 
 class Coupled2Setup(NamedTuple):
@@ -93,11 +95,13 @@ def setup_coupled2(cfg: Coupled2Config):
                   nu_tune=cfg.nu_tune, alpha=cfg.alpha, dealias=cfg.dealias)
     qk0 = initial_q2_ring(cfg.seed, grid, cfg.U_g, Kd2, ring=cfg.ring_ic)
 
-    # dt from initial CFL at the reference's rebuild safety factor
+    # dt from initial CFL at the reference's rebuild safety factor;
+    # bounded retry for transient axon tunnel drops (BENCH_r02
+    # postmortem: one FAILED_PRECONDITION here killed the artifact)
     ops_probe = build_operators(grid, p, 1.0)  # B only needed
-    from ..utils.host import fetch_float
-    U0 = fetch_float(jax.jit(
-        lambda q: max_speed2(q, grid, ops_probe, p))(qk0))
+    from ..utils.host import retry_fetch_float
+    U0 = retry_fetch_float(jax.jit(
+        lambda q: max_speed2(q, grid, ops_probe, p)), qk0)
     Fr = U0 / cfg.Cg
     T = (cfg.T_Fr_days / cfg.f) / Fr**2
     dt = 0.5 * cfg.CFL_fraction * grid.dx / U0
@@ -108,7 +112,7 @@ def setup_coupled2(cfg: Coupled2Config):
 
     px0, pk0 = ring_packet_ics(cfg, grid, seed=cfg.seed)
     march = build_march_spec(cfg, grid, dt, U0)
-    nf0 = march_n_fields(march, cfg.n_packets)
+    nf0 = march_n_fields(march)
     fields0 = jax.jit(lambda q: top_layer_flow(
         q, grid, ops, p, cfg.one_layer_quirk, n_fields=nf0).fields)(qk0)
     carry0 = CoupledCarry(flow_state=qg2_init(qk0), packet_x=px0,
@@ -122,7 +126,7 @@ def setup_coupled2(cfg: Coupled2Config):
 def coupled2_flow_packet_step(carry: CoupledCarry, s: Coupled2Setup,
                               cfg: Coupled2Config) -> CoupledCarry:
     """One two-layer lock-step iteration (qg2layersw_raytrace.m:152-197)."""
-    nf = march_n_fields(s.march, carry.packet_x.shape[-1])
+    nf = march_n_fields(s.march)
     return lockstep_step(
         carry,
         flow_step_fn=lambda st: qg2_step(st, s.grid, s.ops, s.params),
@@ -130,7 +134,8 @@ def coupled2_flow_packet_step(carry: CoupledCarry, s: Coupled2Setup,
             st.qk, s.grid, s.ops, s.params, cfg.one_layer_quirk,
             n_fields=nf).fields,
         grid=s.grid, disp=s.disp, dt=s.dt, packet_delay=s.packet_delay,
-        n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march)
+        n_substeps=cfg.n_substeps, stepper=cfg.stepper, march=s.march,
+        window_min_np=window_threshold(cfg))
 
 
 def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
@@ -143,7 +148,8 @@ def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
     step = lambda cc: coupled2_flow_packet_step(cc, s, cfg)
     if remat:
         step = jax.checkpoint(step)
-    carry = prepare_carry_windows(carry, remat, s.march)
+    carry = prepare_carry_windows(carry, remat, s.march,
+                                  window_threshold(cfg))
 
     def one_save(c, _):
         c = lax.fori_loop(0, cfg.packet_steps_per_save,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..models.coupled import (CoupledConfig, CoupledCarry, setup_coupled,
-                              lockstep_step)
+                              lockstep_step, window_threshold)
 from ..models.qg import qg_step
 from ..models.fields import flow_from_qk
 from jax import lax
@@ -63,6 +63,10 @@ def setup_ensemble(cfgs: Sequence[CoupledConfig]):
         assert (c.nx, c.L, c.f, c.Cg, c.n_packets) == \
             (ref.nx, ref.L, ref.f, ref.Cg, ref.n_packets), \
             "ensemble members must share grid/packet shapes"
+    # The ensemble lock-step runs without a MarchSpec (per-member dt is
+    # traced, but MarchSpec.margin is static) — build the carries for
+    # the non-march paths (full 6-field prev_fields).
+    cfgs = [c._replace(fused_march=False) for c in cfgs]
     setups, carries = zip(*(setup_coupled(c) for c in cfgs))
     carry_b = jax.tree.map(lambda *xs: jnp.stack(xs), *carries)
     es = EnsembleSetup(
@@ -97,7 +101,8 @@ def run_ensemble_chunk(carry_b: CoupledCarry, es: EnsembleSetup, s, cfg,
             flow_step_fn=lambda st: qg_step(st, grid, qp),
             fields_fn=lambda st: flow_from_qk(st.qk, grid, qp.Kd2).fields,
             grid=grid, disp=disp, dt=live_dt, packet_delay=packet_delay,
-            n_substeps=cfg.n_substeps, stepper=cfg.stepper)
+            n_substeps=cfg.n_substeps, stepper=cfg.stepper,
+            window_min_np=window_threshold(cfg))
         return jax.tree.map(lambda a, b: jnp.where(live, a, b), new, carry)
 
     def member_chunk(carry, dt, packet_delay, T):

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["put", "fetch", "fetch_float"]
+__all__ = ["put", "fetch", "fetch_float", "retry_fetch_float"]
 
 
 @jax.jit
@@ -71,3 +71,28 @@ def fetch(tree):
 
 def fetch_float(x) -> float:
     return float(fetch(x))
+
+
+def retry_fetch_float(compute, *args, attempts: int = 3,
+                      delay_s: float = 2.0) -> float:
+    """Run `compute(*args)` and fetch its scalar result, retrying the
+    whole compute+fetch on backend errors.
+
+    The axon tunnel drops transfers transiently (BENCH_r02 died on a
+    FAILED_PRECONDITION fetching the setup-time max speed); re-running
+    the computation gives the client a fresh buffer to fetch. Bounded:
+    a persistently poisoned client still fails after `attempts` tries —
+    callers that must survive that (bench.py) re-exec in a fresh
+    process instead.
+    """
+    import time
+
+    last = None
+    for i in range(attempts):
+        try:
+            return float(fetch(compute(*args)))
+        except Exception as e:  # jaxlib runtime errors share no base
+            last = e
+            if i + 1 < attempts:
+                time.sleep(delay_s * (i + 1))
+    raise last

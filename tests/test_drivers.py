@@ -158,3 +158,66 @@ def test_qg_passive_particles_advect():
             jnp.zeros_like(qk0), xp0)
     np.testing.assert_allclose(np.asarray(xp_still), np.asarray(xp0),
                                atol=1e-12)
+
+
+def test_margin_overflow_self_corrects(tmp_path):
+    """A deliberately under-margined fused-march run (march_margin=1
+    with a group speed that drifts packets several cells per flow step)
+    must NOT write silently-clamped frames: the driver discards the
+    overflowing chunk, widens the margin, and re-runs it (VERDICT r2
+    item 6). The final trajectory must match a run that had a generous
+    margin from the start."""
+    kw = dict(nx=32, Npackets=8, near_inertial_factor=2.0,
+              T_Fr_days=30.0, packet_delay_days=0.0, Cg=30.0,
+              max_steps=20, checkpoint_every=0, verbose=False,
+              window_min_np=1, fused_march=True)
+    out_bad = tmp_path / "undermargined"
+    carry_bad, rd_bad = drivers.qgsw_raytrace(
+        out_dir=out_bad, march_margin=1, **kw)
+    metrics = rd_bad.read_metrics()
+    ovs = [m for m in metrics if m.get("march_overflow")]
+    assert ovs, "expected at least one overflow event at margin=1"
+    assert all(m.get("chunk_discarded") for m in ovs)
+    # the re-run chunk must produce the same physics as a generous
+    # margin from the start (clamped results never reach the files)
+    out_ok = tmp_path / "margined"
+    carry_ok, _ = drivers.qgsw_raytrace(out_dir=out_ok, march_margin=8,
+                                        **kw)
+    np.testing.assert_allclose(np.asarray(carry_bad.packet_x),
+                               np.asarray(carry_ok.packet_x),
+                               rtol=1e-10, atol=1e-10)
+    x_bad = binio.read_field(str(out_bad / "packet_x"), 8, 2, frames=None)
+    x_ok = binio.read_field(str(out_ok / "packet_x"), 8, 2, frames=None)
+    np.testing.assert_allclose(x_bad, x_ok, rtol=1e-10, atol=1e-10)
+
+
+def test_margin_overflow_halts_without_retries(tmp_path):
+    """With retries disabled an overflow must halt the run loudly (no
+    clamped frames written), like the blow-up check."""
+    out = tmp_path / "halt"
+    carry, rd = drivers.qgsw_raytrace(
+        nx=32, Npackets=8, near_inertial_factor=2.0, T_Fr_days=30.0,
+        packet_delay_days=0.0, Cg=30.0, out_dir=out, max_steps=20,
+        checkpoint_every=0, verbose=False, window_min_np=1,
+        fused_march=True, march_margin=1, max_margin_retries=0)
+    metrics = rd.read_metrics()
+    assert any(m.get("march_overflow") for m in metrics)
+    # only the pre-loop initial frame was written
+    assert binio.frame_count(str(out / "packet_x"), 8, 2) == 1
+
+
+def test_checkpoint_nf_reconciles_across_march_configs(tmp_path):
+    """A checkpoint written by a uv-window run (prev_fields nf=2) must
+    resume under a 6-field configuration and vice versa (ADVICE r2):
+    prev_fields is rebuilt from the flow state on shape mismatch."""
+    kw = dict(nx=32, Npackets=8, T_Fr_days=30.0, packet_delay_days=0.1,
+              verbose=False, window_min_np=1, fused_march=True)
+    out = tmp_path / "runnf"
+    drivers.qgsw_raytrace(out_dir=out, max_steps=20, checkpoint_every=1,
+                          march_uv_windows=True, **kw)
+    # resume the nf=2 checkpoint under a config whose carry wants nf=6
+    carry, rd = drivers.qgsw_raytrace(
+        out_dir=out, max_steps=40, checkpoint_every=1, resume=True,
+        march_uv_windows=False, **kw)
+    assert carry.prev_fields.shape[0] == 6
+    assert np.isfinite(np.asarray(carry.packet_x)).all()

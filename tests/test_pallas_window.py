@@ -164,7 +164,7 @@ def test_required_margin():
     assert pw.required_margin(1.0, 1.0, 1.0, 0.5, headroom=1.0) == 4
 
 
-def test_coupled_fused_march_matches_per_stage(monkeypatch):
+def test_coupled_fused_march_matches_per_stage():
     """End-to-end: the coupled one-layer driver with the fused march
     engaged produces the same trajectory as the per-stage blended path
     (the production equivalence VERDICT item 2 asks for). With
@@ -177,13 +177,11 @@ def test_coupled_fused_march_matches_per_stage(monkeypatch):
     at the production 512 — benchmarks/gradinterp_accuracy.py), so at
     this deliberately coarse nx=32 the k-trajectories only agree to
     ~1e-1 after 4 flow steps; u,v (hence positions) are much closer."""
-    from swraytracing_tpu.ops import interp as _interp
     from swraytracing_tpu.models import coupled as cp
 
-    monkeypatch.setattr(_interp, "_WINDOW_MIN_NP", 256)
     base = cp.CoupledConfig(nx=32, n_packets=512, T_Fr_days=50.0,
                             packet_delay_days=0.0, U_g=0.4, f=3.0, Cg=1.0,
-                            packet_steps_per_save=2)
+                            packet_steps_per_save=2, window_min_np=256)
     variants = {
         "stage": base._replace(fused_march=False),
         "march": base._replace(march_uv_windows=False),

@@ -141,12 +141,10 @@ def test_multihost_helpers_roundtrip():
     np.testing.assert_array_equal(back, x)
 
 
-def test_windowed_coupled_matches_and_shards(monkeypatch):
-    """The windowed interpolation path (engaged above _WINDOW_MIN_NP
+def test_windowed_coupled_matches_and_shards():
+    """The windowed interpolation path (engaged at window_min_np
     packets) gives the same coupled trajectory as the stencil path, on
     one device and sharded over 8 packet shards."""
-    from swraytracing_tpu.ops import interp as interp_mod
-
     # fused_march off: this test targets the WINDOWED INTERP path (the
     # below-march fallback); the fused march has its own equivalence
     # tests in test_pallas_window.py.
@@ -157,9 +155,9 @@ def test_windowed_coupled_matches_and_shards(monkeypatch):
                                     n_saves=3))
     c1, (px1, pk1, _) = run(carry)
 
-    # force the windowed path for this tiny packet count
-    monkeypatch.setattr(interp_mod, "_WINDOW_MIN_NP", 1)
-    run_w = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
+    # engage the windowed path for this tiny packet count via the config
+    cfg_w = cfg._replace(window_min_np=1)
+    run_w = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg_w,
                                       n_saves=3))
     cw, (pxw, pkw, _) = run_w(carry)
     np.testing.assert_allclose(np.asarray(pxw), np.asarray(px1),
@@ -200,3 +198,64 @@ def test_scaling_harness_runs():
     assert [p.packets for p in pts] == [64, 128, 512]
     assert all(p.packet_steps_per_sec > 0 for p in pts)
     assert abs(pts[0].efficiency - 1.0) < 1e-9
+
+
+def _production_march_cfg(**kw):
+    """The shipping bench.py path: fused march + uv windows + combined
+    gather, engaged via the config (no module-global monkeypatching)."""
+    base = dict(nx=32, n_packets=64, T_Fr_days=10.0, packet_delay_days=0.1,
+                fused_march=True, march_uv_windows=True,
+                march_combined_gather=True, window_min_np=1)
+    base.update(kw)
+    return CoupledConfig(**base)
+
+
+def test_fused_march_sharding_matches_single_device():
+    """N-shard == 1-shard for the PRODUCTION fused-march path (uv
+    windows + combined gather — exactly what bench.py runs), on the
+    8-device packet mesh (VERDICT r2 item 2)."""
+    cfg = _production_march_cfg()
+    s, carry = setup_coupled(cfg)
+    assert s.march is not None and s.march.nf == 2 \
+        and s.march.combined_gather
+    run = jax.jit(functools.partial(run_coupled_chunk, s=s, cfg=cfg,
+                                    n_saves=4))
+    c1, (px1, pk1, _) = run(carry)
+    assert int(c1.overflow) == 0
+
+    mesh = shd.make_mesh(ensemble=1)
+    carry_sh = carry.replace(
+        packet_x=jax.device_put(carry.packet_x, shd.packet_sharding(mesh)),
+        packet_k=jax.device_put(carry.packet_k, shd.packet_sharding(mesh)),
+        prev_fields=jax.device_put(carry.prev_fields, shd.replicated(mesh)))
+    c8, (px8, pk8, _) = run(carry_sh)
+    np.testing.assert_allclose(np.asarray(px8), np.asarray(px1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pk8), np.asarray(pk1),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fused_march_sharded_gradient_matches_single_device():
+    """Flow-spectrum gradient through the fused march's custom VJP:
+    8 packet shards == single device (the production differentiable
+    path under GSPMD; VERDICT r2 item 2)."""
+    cfg = _production_march_cfg(n_packets=32, T_Fr_days=5.0,
+                                packet_delay_days=0.05)
+    s, carry = setup_coupled(cfg)
+    assert s.march is not None
+
+    def loss(qk0, c):
+        c = c.replace(flow_state=c.flow_state.replace(qk=qk0))
+        c, (px, pk, ts) = run_coupled_chunk(c, s, cfg, 2)
+        return jnp.mean(jnp.sum(pk[-1] ** 2, -1))
+
+    g1 = jax.jit(jax.grad(loss))(carry.flow_state.qk, carry)
+
+    mesh = shd.make_mesh(ensemble=1)
+    carry_sh = carry.replace(
+        packet_x=jax.device_put(carry.packet_x, shd.packet_sharding(mesh)),
+        packet_k=jax.device_put(carry.packet_k, shd.packet_sharding(mesh)))
+    qk_sh = jax.device_put(carry.flow_state.qk, shd.replicated(mesh))
+    g8 = jax.jit(jax.grad(loss))(qk_sh, carry_sh)
+    assert np.isfinite(np.asarray(g8)).all()
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-10)
