@@ -16,7 +16,11 @@ import os
 import time
 
 NX = int(os.environ.get("BENCH_NX", "512"))
-NP = int(os.environ.get("BENCH_NP", str(1_000_000)))
+
+# 2^20 ~ 1.05e6: keeps the packet axis an exact multiple of the march
+# kernel block (512), so the in-step pad is a no-op — required for the
+# sharded multi-chip path to stay collective-free (see lockstep_step).
+NP = int(os.environ.get("BENCH_NP", str(1_048_576)))
 N_SAVES = int(os.environ.get("BENCH_SAVES", "2"))
 MODEL = os.environ.get("BENCH_MODEL", "qg2")
 # Packet sub-stepper: rk23 (default; mirrors the reference's ode23

@@ -45,9 +45,11 @@ from swraytracing_tpu.parallel.scaling import measure_packet_scaling
 NX = 128 if MODE == "cpu" else 512
 PACKETS_PER_DEV = 32_768 if MODE == "cpu" else 1_000_000
 
+# instruction definitions only — operand mentions of %all-reduce.N in
+# other instructions are not collectives
 _COLLECTIVES = re.compile(
-    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
-    r"all-to-all)\b")
+    r"= \S+ (all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)(?:-start)?\(")
 
 
 def census(fn, *args):
@@ -111,6 +113,6 @@ else:
     out["points"] = [p._asdict() for p in points]
 
 print(json.dumps(out, indent=2))
-path = _pl.Path(__file__).resolve().parents[1] / f"SCALING_r02_{MODE}.json"
+path = _pl.Path(__file__).resolve().parents[1] / f"SCALING_r03_{MODE}.json"
 path.write_text(json.dumps(out, indent=2) + "\n")
 print(f"wrote {path}")

@@ -338,12 +338,23 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
             win1 = pwin.build_gather_windows(carry.prev_fields, march)
         active = new_state.t > packet_delay
         sub_dt = jnp.where(active, dt / n_substeps, 0.0)
-        B = march.block
         x, k = carry.packet_x, carry.packet_k
         oi, oj = pwin.packet_cells(x[0], x[1], march)
-        oip = pwin.pad_packet_axis(oi, B)
-        ojp = pwin.pad_packet_axis(oj, B)
-        xk = pwin.pad_packet_axis(jnp.concatenate([x, k], axis=0), B)
+        xk = jnp.concatenate([x, k], axis=0)
+        if march.use_pallas:
+            # Block alignment is a Pallas grid requirement only. The
+            # XLA reference path (CPU) is shape-agnostic — and padding
+            # a SHARDED packet axis is not free (GSPMD repartitions the
+            # padded array: measured 9 all-gathers + 63 collective-
+            # permutes per chunk at Np<block). Sharded TPU runs should
+            # choose Np % (block * n_devices) == 0 so this pad is a
+            # no-op (bench.py defaults to 2^20 packets).
+            B = march.block
+            oip = pwin.pad_packet_axis(oi, B)
+            ojp = pwin.pad_packet_axis(oj, B)
+            xk = pwin.pad_packet_axis(xk, B)
+        else:
+            oip, ojp = oi, oj
         if march.combined_gather:
             # Both snapshots' windows stacked on the K axis -> ONE
             # take-gather per packet per flow step (the gather pays per

@@ -259,3 +259,53 @@ def test_fused_march_sharded_gradient_matches_single_device():
     g8 = jax.jit(jax.grad(loss))(qk_sh, carry_sh)
     assert np.isfinite(np.asarray(g8)).all()
     np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-10)
+
+
+def test_production_march_collective_census():
+    """GSPMD must not insert packet-axis all-gathers into the sharded
+    production chunk (forward or flow-gradient): the flow is replicated,
+    the march is shard-local, and the backward's only cross-shard
+    communication is the flow-gradient psum. Round 1 regressed to 27
+    all-gathers once; this pins the optimized-HLO counts so pytest
+    catches it (VERDICT r2 item 5)."""
+    import re
+
+    cfg = CoupledConfig(nx=32, n_packets=64, T_Fr_days=10.0,
+                        packet_delay_days=0.1, window_min_np=1)
+    s, carry = setup_coupled(cfg)
+    assert s.march is not None and s.march.nf == 2  # shipping path
+
+    mesh = shd.make_mesh(ensemble=1)
+    carry = carry.replace(
+        packet_x=jax.device_put(carry.packet_x, shd.packet_sharding(mesh)),
+        packet_k=jax.device_put(carry.packet_k, shd.packet_sharding(mesh)),
+        prev_fields=jax.device_put(carry.prev_fields, shd.replicated(mesh)))
+
+    # count instruction DEFINITIONS only (an operand mention like
+    # %all-reduce.5 in another instruction is not a collective)
+    pat = re.compile(r"= \S+ (all-reduce|all-gather|reduce-scatter|"
+                     r"collective-permute|all-to-all)(?:-start)?\(")
+
+    def census(fn, *args):
+        txt = jax.jit(fn).lower(*args).compile().as_text()
+        counts = {}
+        for m in pat.finditer(txt):
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+        return counts
+
+    fwd = functools.partial(run_coupled_chunk, s=s, cfg=cfg, n_saves=1)
+    cf = census(fwd, carry)
+    assert cf.get("all-gather", 0) == 0, cf
+    assert cf.get("all-to-all", 0) == 0, cf
+    assert cf.get("collective-permute", 0) == 0, cf
+    assert cf.get("all-reduce", 0) <= 4, cf
+
+    def flow_grad(qk, c):
+        c = c.replace(flow_state=c.flow_state.replace(qk=qk))
+        c2, _ = run_coupled_chunk(c, s, cfg, 1, remat=True)
+        return jnp.sum(c2.packet_k ** 2)
+
+    cg = census(jax.grad(flow_grad), carry.flow_state.qk, carry)
+    assert cg.get("all-gather", 0) == 0, cg
+    assert cg.get("all-to-all", 0) == 0, cg
+    assert cg.get("all-reduce", 0) <= 6, cg
