@@ -287,6 +287,15 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
     for throughput, rk23 for ode23 parity
     (tests/test_rays.py::test_fixed_substeps_within_ode23_envelope).
 
+    The TWO-LAYER headline configuration (512^2, the path
+    qg2layersw_raytrace.m:184-197 sub-cycles identically;
+    benchmarks/substep_study2.py) has a smaller CFL dt and is even
+    further inside the envelope (adaptive@1e-6 err ~1.1-1.9e-10):
+
+        omega*dt      rk23 n=1   n=2        n=4        n=8
+        0.035 (w0=2)  2.5e-09    3.1e-10    5.6e-11    7.9e-12
+        0.278 (w0=16) 3.1e-09    3.9e-10    4.9e-11    2.0e-11
+
     Args:
       flow_step_fn: flow_state -> flow_state (one solver step; must
         advance .t).
