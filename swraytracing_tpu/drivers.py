@@ -76,7 +76,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     rd.write_run_log(
         nx=cfg.nx, n_packets=cfg.n_packets,
         k_radius=cfg.near_inertial_factor * cfg.f, dt=s.dt, T=s.T,
-        spin_up=s.packet_delay * cfg.f, steps_per_save=cfg.steps_per_save,
+        spin_up=s.packet_delay, steps_per_save=cfg.steps_per_save,
         packet_steps_per_save=cfg.packet_steps_per_save, f=cfg.f,
         Cg=cfg.Cg, U_g=cfg.U_g, U0=s.U0, Fr=s.Fr, Kd2=Kd2)
 

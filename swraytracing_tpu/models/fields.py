@@ -29,7 +29,7 @@ from flax import struct
 from ..ops.grid import SpectralGrid
 from ..ops import spectral as sp
 from ..ops.interp import (stencil_and_weights, interp_stencil_apply,
-                          build_windows, interp_windowed, _WINDOW_MIN_NP)
+                          build_windows, interp_windowed)
 
 __all__ = [
     "FlowEval",
