@@ -1,7 +1,7 @@
 """Backward-pass wall time of one coupled two-layer flow step at 1e6
 packets on TPU (VERDICT round-1 item 5): fused-march path vs the legacy
 stencil path. All reductions inside jit (eager ops hang on axon); sync
-via scalar host fetch. Writes GRAD_r02.json.
+via scalar host fetch. Writes GRAD_r03.json.
 
 Known failure, kept as a recorded outcome rather than fixed: the legacy
 paths' BACKWARD does not compile at this scale — XLA materializes a
@@ -59,6 +59,6 @@ for name, fused, minnp in [("fused-march", True, 65536),
     g = jax.jit(lambda pk, cc, l=loss: jnp.sum(jax.grad(l)(pk, cc) ** 2))
     timed(f"fwd+bwd 1 flow step ({name})", g, carry.packet_k, carry)
 
-out = _pl.Path(__file__).resolve().parents[1] / "GRAD_r02.json"
+out = _pl.Path(__file__).resolve().parents[1] / "GRAD_r03.json"
 out.write_text(json.dumps(results, indent=2) + "\n")
 print(f"wrote {out}")

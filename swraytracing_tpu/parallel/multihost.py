@@ -7,10 +7,12 @@ SPMD program over all hosts — `jax.distributed.initialize()` + a global
 host-locally and assembled into global arrays, collectives ride
 ICI/DCN automatically through GSPMD.
 
-This module cannot be exercised on the single-chip dev box (the driver
-validates multi-device semantics via __graft_entry__.dryrun_multichip on
-a virtual mesh); it wires the standard jax.distributed path for real
-pods.
+Exercised for real by tests/test_multiprocess.py: two OS processes with
+4 virtual CPU devices each join through jax.distributed over localhost
+(gRPC coordinator + gloo collectives standing in for DCN), assemble
+process-local packet blocks into global sharded arrays, run the jitted
+coupled chunk SPMD, and the assembled result matches a single-process
+run. Real pods use the identical calls with auto-detected arguments.
 """
 
 from __future__ import annotations
