@@ -245,8 +245,10 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
         sn = state["s"]
         if sn.march is None:
             return make_run()
-        new_m = sn.march.margin + int(ov_cells) + 1
-        log(f"march margin {sn.march.margin} -> {new_m}")
+        from .ops.pallas_window import max_margin
+        cap = max_margin(min(sn.grid.nx, sn.grid.ny))
+        new_m = min(sn.march.margin + int(ov_cells) + 1, cap)
+        log(f"march margin {sn.march.margin} -> {new_m} (cap {cap})")
         state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
         return make_run()
 
@@ -305,7 +307,11 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
             q, sn.grid, sn.ops, sn.params)), carry.flow_state.qk)
         cfl_dt = cfg.CFL_fraction * sn.grid.dx / max(U0, 1e-12)
         if cfl_dt < sn.dt or sn.dt < cfl_dt / 4.0:
-            new_dt = 0.5 * cfl_dt
+            # shrink freely on violation; GROW at most 4x per recheck (a
+            # strongly-decayed flow would otherwise jump dt so far the
+            # packet substeps lose accuracy and the march margin blows
+            # past the grid)
+            new_dt = min(0.5 * cfl_dt, 4.0 * sn.dt)
             log(f"CFL recheck: max|u|={U0:.4f}, dt {sn.dt:.5f} -> "
                 f"{new_dt:.5f}; rebuilding operators")
             ops = build_operators(sn.grid, sn.params, new_dt)
@@ -322,8 +328,10 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
         sn = state["s"]
         if sn.march is None:
             return make_run(sn)
-        new_m = sn.march.margin + int(ov_cells) + 1
-        log(f"march margin {sn.march.margin} -> {new_m}")
+        from .ops.pallas_window import max_margin
+        cap = max_margin(min(sn.grid.nx, sn.grid.ny))
+        new_m = min(sn.march.margin + int(ov_cells) + 1, cap)
+        log(f"march margin {sn.march.margin} -> {new_m} (cap {cap})")
         state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
         return make_run(state["s"])
 

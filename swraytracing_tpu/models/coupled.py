@@ -216,7 +216,8 @@ def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
         return None
     margin = getattr(cfg, "march_margin", None)
     if margin is None:
-        margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx)
+        margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx,
+                                      nx=min(grid.nx, grid.ny))
     uv = getattr(cfg, "march_uv_windows", False)
     return pwin.MarchSpec(
         nx=grid.nx, ny=grid.ny, dx=grid.dx, dy=grid.dy,

@@ -118,13 +118,29 @@ class MarchSpec(NamedTuple):
 
 
 def required_margin(dt: float, u_max: float, Cg: float, dx: float,
-                    headroom: float = 3.0) -> int:
+                    headroom: float = 3.0, nx: int | None = None,
+                    order: int = 2) -> int:
     """Margin (cells) covering the worst-case packet drift over one flow
     step: |dx/dt| <= |U| + |Cg_group| <= u_max + Cg (group speed of the
     SW dispersion is bounded by Cg). `headroom` scales u_max because the
     flow can strengthen past its initial maximum during the run; the
-    kernel's overflow counter catches violations at runtime."""
-    return max(1, int(np.ceil(dt * (headroom * u_max + Cg) / dx)))
+    kernel's overflow counter catches violations at runtime.
+
+    With `nx` given, the margin is capped so the window (SW = 2*order+2
+    + 2*margin) never exceeds the periodic grid — a wider window would
+    duplicate cells and the build would slice out of range (hit when a
+    CFL recheck on a strongly-decayed flow produced a huge dt). A
+    capped margin that proves too small surfaces through the kernel's
+    overflow counter, which drivers treat as discard-and-retry/halt."""
+    m = max(1, int(np.ceil(dt * (headroom * u_max + Cg) / dx)))
+    if nx is not None:
+        m = min(m, max_margin(nx, order))
+    return m
+
+
+def max_margin(nx: int, order: int = 2) -> int:
+    """Largest margin whose window still fits the periodic grid."""
+    return max(1, (nx - (2 * order + 2)) // 2)
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +159,11 @@ def build_margin_windows(F, spec: MarchSpec):
     SW = spec.SW
     lo = spec.order + spec.margin
     hi = spec.order + 1 + spec.margin
+    if lo > min(nx, ny) or hi > min(nx, ny):
+        raise ValueError(
+            f"march window (margin={spec.margin}, SW={SW}) exceeds the "
+            f"{nx}x{ny} periodic grid; cap the margin with "
+            "required_margin(..., nx=) / max_margin")
     Fp = jnp.concatenate([F[:, :, ny - lo:], F, F[:, :, :hi]], axis=2)
     Fp = jnp.concatenate([Fp[:, nx - lo:], Fp, Fp[:, :hi]], axis=1)
     rows = [Fp[f, sx:sx + nx, sy:sy + ny].reshape(nx * ny)

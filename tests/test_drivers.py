@@ -221,3 +221,23 @@ def test_checkpoint_nf_reconciles_across_march_configs(tmp_path):
         march_uv_windows=False, **kw)
     assert carry.prev_fields.shape[0] == 6
     assert np.isfinite(np.asarray(carry.packet_x)).all()
+
+
+def test_qg2_cfl_recheck_rebuilds_march(tmp_path, capsys):
+    """The two-layer CFL recheck must rebuild dt, operators AND the
+    march spec (margin sized from the RUNNING max speed), and the next
+    chunk must run against the rebuilt spec with the carried windows
+    reconciled (VERDICT r2 weak item 8). A strongly-damped run decays
+    fast, triggering the dt-too-small branch within a few chunks."""
+    out = tmp_path / "recheck"
+    carry, rd = drivers.qg2layersw_raytrace(
+        nx=32, Npackets=8, T_Fr_days=10.0, packet_delay_days=0.01,
+        U_g=0.4, shear=0.0, r=3.0, out_dir=out, max_steps=300,
+        checkpoint_every=0, verbose=True, window_min_np=1,
+        steps_per_save=10, packet_steps_per_save=5)
+    text = capsys.readouterr().out
+    assert "CFL recheck" in text, text[-2000:]
+    assert np.isfinite(np.asarray(carry.packet_x)).all()
+    assert np.isfinite(np.asarray(carry.flow_state.qk)).all()
+    m = rd.read_metrics()
+    assert m and not any(mm.get("blow_up") for mm in m)
