@@ -36,7 +36,14 @@ class ScalingPoint(NamedTuple):
 
 
 def _time_steps(run, carry, iters: int) -> float:
-    carry2, _ = run(carry)  # compile + warmup
+    # TWO warmup calls: the first compiles the initial-carry structure
+    # (prev_win=None), the second the steady-state structure every
+    # later call reuses — timing after one warmup clocks a recompile
+    # inside the window (bench.py's round-1 9x undershoot; reproduced
+    # here as SCALING tpu points ~300x low before this fix).
+    carry2, _ = run(carry)
+    float(jnp.sum(carry2.packet_x[0, :1]))
+    carry2, _ = run(carry2)
     float(jnp.sum(carry2.packet_x[0, :1]))
     t0 = time.perf_counter()
     for _ in range(iters):
