@@ -43,7 +43,9 @@ from swraytracing_tpu.parallel import sharding as shd
 from swraytracing_tpu.parallel.scaling import measure_packet_scaling
 
 NX = 128 if MODE == "cpu" else 512
-PACKETS_PER_DEV = 32_768 if MODE == "cpu" else 1_000_000
+# 2^20 on TPU: multiple of the march kernel block (512) so the
+# in-step pad is a no-op (see lockstep_step / bench.py)
+PACKETS_PER_DEV = 32_768 if MODE == "cpu" else 1_048_576
 
 # instruction definitions only — operand mentions of %all-reduce.N in
 # other instructions are not collectives
@@ -64,7 +66,9 @@ def census(fn, *args):
 def setup_fn(n_packets):
     cfg = CoupledConfig(nx=NX, n_packets=n_packets, T_Fr_days=6000.0,
                         packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0,
-                        packet_steps_per_save=2)
+                        # 20 steps per jitted call on TPU amortizes the ~40 ms axon
+                        # dispatch round trip (bench.py STEPS_PER_CALL)
+                        packet_steps_per_save=2 if MODE == "cpu" else 20)
     s, carry = setup_coupled(cfg)
     return (s, cfg), carry
 
@@ -102,14 +106,15 @@ if MODE == "cpu":
     # --- wall-clock curve (execution proof, NOT a scaling measurement:
     # the 8 virtual devices share one physical CPU) ----------------------
     points = measure_packet_scaling(setup_fn, run_fn, PACKETS_PER_DEV,
-                                    weak=True, iters=2)
+                                    weak=True, iters=2, steps_per_call=2)
     out["virtual_mesh_note"] = (
         "virtual devices share one physical CPU; aggregate throughput "
         "cannot scale — points prove execution at every mesh size only")
     out["points"] = [p._asdict() for p in points]
 else:
     points = measure_packet_scaling(setup_fn, run_fn, PACKETS_PER_DEV,
-                                    device_counts=[1], weak=True, iters=2)
+                                    device_counts=[1], weak=True, iters=2,
+                                    steps_per_call=20)
     out["points"] = [p._asdict() for p in points]
 
 print(json.dumps(out, indent=2))

@@ -54,7 +54,8 @@ def _time_steps(run, carry, iters: int) -> float:
 
 def measure_packet_scaling(setup_fn, run_fn, base_packets: int,
                            device_counts: Sequence[int] | None = None,
-                           weak: bool = True, iters: int = 2
+                           weak: bool = True, iters: int = 2,
+                           steps_per_call: int = 1
                            ) -> list[ScalingPoint]:
     """Measure packet-steps/s over increasing device counts.
 
@@ -68,6 +69,9 @@ def measure_packet_scaling(setup_fn, run_fn, base_packets: int,
         (1, 2, ..., len(devices)) powers of two.
       weak: True = fixed packets PER DEVICE (the production regime: more
         hosts -> more rays); False = fixed TOTAL packets.
+      steps_per_call: flow steps one run_fn call advances (its
+        n_saves * packet_steps_per_save) — rates are per flow STEP, so
+        a multi-step call must declare its step count.
     """
     devs = jax.devices()
     if device_counts is None:
@@ -85,7 +89,7 @@ def measure_packet_scaling(setup_fn, run_fn, base_packets: int,
             prev_fields=jax.device_put(carry.prev_fields,
                                        shd.replicated(mesh)))
         run = run_fn(s)
-        sec = _time_steps(run, carry, iters)
+        sec = _time_steps(run, carry, iters) / steps_per_call
         rate = np_total / sec
         if base_rate is None:
             # per-device rate at the first point; ideal total rate at nd
