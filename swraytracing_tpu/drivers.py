@@ -24,6 +24,7 @@ import numpy as np
 import jax
 
 from .io import binio
+from .io.asyncwriter import AsyncWriter
 from .io.runmeta import RunDir
 from .utils.host import fetch
 from .io.checkpoint import save_state, restore_state, latest_checkpoint
@@ -123,7 +124,14 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     t_start = time.time()
     chunk = chunk0
     margin_retries = 0
-    while chunk < n_chunks:
+    # Frame writes go through a single worker thread so disk I/O
+    # overlaps the next chunk's device compute (~16 MB per packet frame
+    # at 1e6 packets; the reference writes synchronously in-loop,
+    # qgsw_raytrace.m:153-172). Ordering per file is preserved (FIFO);
+    # close() below joins before the run returns.
+    writer = AsyncWriter()
+    try:
+      while chunk < n_chunks:
         chunk_start_carry = carry
         tc = time.time()
         carry, (px, pk, ts) = run(carry)
@@ -179,16 +187,21 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
         px_np, pk_np, ts_np = fetch((px, pk, ts))
         for j in range(px_np.shape[0]):
             packet_frame += 1
-            binio.write_field(grid.wrap_centered(px_np[j].T),
-                              rd.file("packet_x"), packet_frame)
-            binio.write_field(pk_np[j].T, rd.file("packet_k"), packet_frame)
-            binio.write_field(ts_np[j], rd.file("packet_time"),
-                              packet_frame)
+            writer.submit(binio.write_field,
+                          grid.wrap_centered(px_np[j].T),
+                          rd.file("packet_x"), packet_frame)
+            writer.submit(binio.write_field,
+                          np.ascontiguousarray(pk_np[j].T),
+                          rd.file("packet_k"), packet_frame)
+            writer.submit(binio.write_field, ts_np[j],
+                          rd.file("packet_time"), packet_frame)
         pv_frame += 1
         q = fetch(jax.jit(fields_of_state)(carry.flow_state))
-        binio.write_field(np.moveaxis(q, 0, -1) if q.ndim == 3 else q,
-                          rd.file("pv"), pv_frame)
-        binio.write_field(float(ts_np[-1]), rd.file("pv_time"), pv_frame)
+        writer.submit(binio.write_field,
+                      np.moveaxis(q, 0, -1) if q.ndim == 3 else q,
+                      rd.file("pv"), pv_frame)
+        writer.submit(binio.write_field, float(ts_np[-1]),
+                      rd.file("pv_time"), pv_frame)
 
         rd.log_metrics(chunk=chunk, t=float(ts_np[-1]),
                        steps=steps_per_chunk, wall_s=elapsed,
@@ -199,7 +212,10 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             # Strip the carried interpolation windows: they are a pure
             # function of prev_fields (rebuilt on resume by
             # prepare_carry_windows) and would add ~226 MB per
-            # checkpoint at 512^2.
+            # checkpoint at 512^2. Flush first: a checkpoint at chunk
+            # N must imply every frame up to N is durable (resume
+            # rewrites only frames FROM the checkpoint).
+            writer.flush()
             save_state(rd.path / "ckpt",
                        carry.replace(prev_win=None, overflow=None),
                        step=chunk + 1)
@@ -211,6 +227,8 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                 f"({steps_per_chunk / elapsed:.1f} steps/s)")
         chunk += 1
         margin_retries = 0
+    finally:
+        writer.close()
 
     rd.finish_run_log()
     log(f"done: {time.time() - t_start:.1f} s wall")

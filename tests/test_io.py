@@ -133,3 +133,31 @@ def test_profiling_helpers():
     assert dt >= 0.0
     np.testing.assert_allclose(np.asarray(out[0]),
                                2.0 * np.arange(8.0))
+
+
+def test_async_writer_orders_and_propagates_errors(tmp_path):
+    """AsyncWriter preserves per-file frame order (FIFO worker) and
+    re-raises worker exceptions on flush/close."""
+    import numpy as np
+    import pytest
+    from swraytracing_tpu.io import binio
+    from swraytracing_tpu.io.asyncwriter import AsyncWriter
+
+    f = str(tmp_path / "frames")
+    with AsyncWriter() as w:
+        for frame in range(1, 6):
+            w.submit(binio.write_field,
+                     np.full((4, 4), float(frame)), f, frame)
+        w.flush()
+        got = binio.read_field(f, 4, 4, frames=[1, 3, 5])
+        assert got.shape == (4, 4, 3)
+        np.testing.assert_array_equal(got[0, 0, :], [1.0, 3.0, 5.0])
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w2 = AsyncWriter()
+    w2.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w2.flush()
+    w2.close()
