@@ -31,7 +31,7 @@ from swraytracing_tpu.models.qg2 import qg2_step, top_layer_flow
 from swraytracing_tpu.ops import interp
 
 NX = 512
-NP = 1_000_000
+NP = 1_048_576  # 2^20: block-aligned (see bench.py)
 
 cfg = C2.Coupled2Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
                         packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0,

@@ -48,10 +48,11 @@ NX = 128 if MODE == "cpu" else 512
 PACKETS_PER_DEV = 32_768 if MODE == "cpu" else 1_048_576
 
 # instruction definitions only — operand mentions of %all-reduce.N in
-# other instructions are not collectives
+# other instructions are not collectives; the shape token may be a
+# tuple for variadic/async collectives (count -start, not -done)
 _COLLECTIVES = re.compile(
-    r"= \S+ (all-reduce|all-gather|reduce-scatter|collective-permute|"
-    r"all-to-all)(?:-start)?\(")
+    r"= (?:\([^)]*\)|\S+) (all-reduce|all-gather|reduce-scatter|"
+    r"collective-permute|all-to-all)(?:-start)?\(")
 
 
 def census(fn, *args):

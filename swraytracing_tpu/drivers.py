@@ -173,10 +173,11 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                     # prepare_carry_windows inside the new run fn
                     carry = chunk_start_carry
                     continue
+                why = ("retries exhausted" if margin_retries else
+                       "no remargin retries configured")
                 log(f"HALT: fused-march margin overflow {ov} cells at "
-                    f"chunk {chunk} "
-                    f"{'(retries exhausted)' if remargin else ''}; "
-                    "frames for this chunk were NOT written")
+                    f"chunk {chunk} ({why}); frames for this chunk "
+                    "were NOT written")
                 carry = chunk_start_carry
                 break
             # Reset the running max so the NEXT chunk's overflows are
@@ -235,6 +236,27 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     return carry, rd
 
 
+
+def _make_remargin(state, make_run, log):
+    """Shared overflow-response hook for both drivers: widen the march
+    margin to cover the observed drift (capped so the window fits the
+    grid) and rebuild the jitted run against the updated setup in
+    `state` (a {"s": setup} holder shared with make_run)."""
+    from .ops.pallas_window import max_margin
+
+    def remargin(ov_cells):
+        sn = state["s"]
+        if sn.march is None:
+            return make_run()
+        cap = max_margin(min(sn.grid.nx, sn.grid.ny))
+        new_m = min(sn.march.margin + int(ov_cells) + 1, cap)
+        log(f"march margin {sn.march.margin} -> {new_m} (cap {cap})")
+        state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
+        return make_run()
+
+    return remargin
+
+
 def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                   T_Fr_days=6000.0, packet_delay_days=1000.0, U_g=0.4,
                   f=3.0, Cg=1.0, out_dir="data", *, max_steps=None,
@@ -259,16 +281,7 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
         return jax.jit(functools.partial(run_coupled_chunk, s=state["s"],
                                          cfg=cfg, n_saves=saves_per_pv))
 
-    def remargin(ov_cells):
-        sn = state["s"]
-        if sn.march is None:
-            return make_run()
-        from .ops.pallas_window import max_margin
-        cap = max_margin(min(sn.grid.nx, sn.grid.ny))
-        new_m = min(sn.march.margin + int(ov_cells) + 1, cap)
-        log(f"march margin {sn.march.margin} -> {new_m} (cap {cap})")
-        state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
-        return make_run()
+    remargin = _make_remargin(state, make_run, log)
 
     run = make_run()
     Kd2 = cfg.f / cfg.Cg
@@ -342,16 +355,7 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
             return make_run(state["s"])
         return run
 
-    def remargin(ov_cells):
-        sn = state["s"]
-        if sn.march is None:
-            return make_run(sn)
-        from .ops.pallas_window import max_margin
-        cap = max_margin(min(sn.grid.nx, sn.grid.ny))
-        new_m = min(sn.march.margin + int(ov_cells) + 1, cap)
-        log(f"march margin {sn.march.margin} -> {new_m} (cap {cap})")
-        state["s"] = sn._replace(march=sn.march._replace(margin=new_m))
-        return make_run(state["s"])
+    remargin = _make_remargin(state, lambda: make_run(state["s"]), log)
 
     run = make_run(s)
     prev_fields_fn = lambda st: top_layer_flow(

@@ -56,9 +56,14 @@ class AsyncWriter:
                 self._q.task_done()
 
     def _check(self):
+        # STICKY: once a write failed, every later submit/flush/close
+        # raises. Clearing the error and continuing would leave a
+        # silent hole in the frame files (writes queued after the
+        # failure are skipped by the worker; frame-addressed files
+        # would then carry stale bytes at the skipped offsets while
+        # later frames landed).
         if self._exc is not None:
-            exc, self._exc = self._exc, None
-            raise exc
+            raise self._exc
 
     def submit(self, fn, *args, **kwargs):
         """Enqueue fn(*args, **kwargs). Arguments must be safe to use

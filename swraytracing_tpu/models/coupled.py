@@ -214,6 +214,10 @@ def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
         return None
     if cfg.n_packets < window_threshold(cfg):
         return None
+    if min(grid.nx, grid.ny) < 2 * 2 + 4:  # S + 2 at order 2
+        # grid too small for even a margin-1 window (max_margin's
+        # floor of 1 would not fit) — fall back to the stencil paths
+        return None
     margin = getattr(cfg, "march_margin", None)
     if margin is None:
         margin = pwin.required_margin(dt, U0, cfg.Cg, grid.dx,

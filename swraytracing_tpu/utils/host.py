@@ -91,6 +91,10 @@ def retry_fetch_float(compute, *args, attempts: int = 3,
     for i in range(attempts):
         try:
             return float(fetch(compute(*args)))
+        except (TypeError, ValueError):
+            # deterministic programming errors — retrying only delays
+            # the traceback and disguises the bug as a tunnel flake
+            raise
         except Exception as e:  # jaxlib runtime errors share no base
             last = e
             if i + 1 < attempts:

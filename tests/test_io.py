@@ -160,4 +160,7 @@ def test_async_writer_orders_and_propagates_errors(tmp_path):
     w2.submit(boom)
     with pytest.raises(RuntimeError, match="disk full"):
         w2.flush()
-    w2.close()
+    # the error is STICKY: close() raises again (a failed run must not
+    # look successful; frames after the failure were skipped)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w2.close()

@@ -282,9 +282,12 @@ def test_production_march_collective_census():
         prev_fields=jax.device_put(carry.prev_fields, shd.replicated(mesh)))
 
     # count instruction DEFINITIONS only (an operand mention like
-    # %all-reduce.5 in another instruction is not a collective)
-    pat = re.compile(r"= \S+ (all-reduce|all-gather|reduce-scatter|"
-                     r"collective-permute|all-to-all)(?:-start)?\(")
+    # %all-reduce.5 in another instruction is not a collective); the
+    # shape token may be a tuple for variadic/async collectives, e.g.
+    # `= (f32[], f32[]) all-reduce(...)` — count -start but not -done
+    pat = re.compile(r"= (?:\([^)]*\)|\S+) (all-reduce|all-gather|"
+                     r"reduce-scatter|collective-permute|all-to-all)"
+                     r"(?:-start)?\(")
 
     def census(fn, *args):
         txt = jax.jit(fn).lower(*args).compile().as_text()
