@@ -312,3 +312,29 @@ def test_production_march_collective_census():
     assert cg.get("all-gather", 0) == 0, cg
     assert cg.get("all-to-all", 0) == 0, cg
     assert cg.get("all-reduce", 0) <= 6, cg
+
+
+def test_census_regex_counts_definitions_only():
+    """The census pattern must count collective instruction DEFINITIONS
+    — including tuple-shaped variadic/async forms XLA's combiner emits —
+    and must NOT count operand mentions or -done halves (the round-3
+    review found tuple shapes were invisible and mentions inflated
+    counts ~60x)."""
+    import re
+
+    pat = re.compile(r"= (?:\([^)]*\)|\S+) (all-reduce|all-gather|"
+                     r"reduce-scatter|collective-permute|all-to-all)"
+                     r"(?:-start)?\(")
+    hlo = "\n".join([
+        "  %all-reduce.1 = f64[32,17]{1,0} all-reduce(%x), replica_groups=",
+        "  ROOT %ar2 = (f32[], f32[]) all-reduce(%a, %b), to_apply=%sum",
+        "  %ag = f32[8,64]{1,0} all-gather-start(%p), dimensions={1}",
+        "  %agd = f32[8,64]{1,0} all-gather-done(%ag)",
+        "  %use = f64[32,17]{1,0} add(%all-reduce.1, %all-reduce.1)",
+        "  %cp = f32[4]{0} collective-permute(%q), source_target_pairs=",
+    ])
+    counts = {}
+    for m in pat.finditer(hlo):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert counts == {"all-reduce": 2, "all-gather": 1,
+                      "collective-permute": 1}, counts
