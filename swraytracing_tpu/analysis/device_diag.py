@@ -1,0 +1,74 @@
+"""On-device run diagnostics: the e(omega) statistic accumulated in the
+chunk scan, so long TPU runs fetch O(bins) floats per save instead of
+full packet frames.
+
+The reference computes its headline energy-versus-frequency result
+post-hoc from saved packet_k frames
+(/root/reference/analysis/load_data.m:33-52: histogram of
+omega = sqrt(f^2 + Cg^2 |k|^2) into linspace edges, energy
+= binCenter * count, pooled over +-500-frame windows). Histogram
+counts are additive over frames, so accumulating a per-save count
+vector ON DEVICE loses nothing: any window statistic load_data.m can
+form from frames is a sum of saved rows. This is what makes
+production-length science runs viable through the axon tunnel (~4 MB/s
+host fetches — a 1e5-packet frame is ~2 MB, a 301-bin count row is
+1 KB).
+
+Counts are float (not int) so the row rides the same f32 fetch path as
+everything else; per-save counts are bounded by Np << 2^24 so f32 is
+exact.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["OmegaHistSpec", "omega_hist_counts", "hist_edges"]
+
+
+class OmegaHistSpec(NamedTuple):
+    """Static histogram configuration (closed over by jit).
+
+    Bins are load_data.m's layout: n_bins equal bins on [0, omega_max]
+    (edges = linspace(0, omega_max, n_bins+1)); one extra OVERFLOW slot
+    counts omega >= omega_max so truncation is observable (load_data.m
+    sizes edges from the sample max instead — a fixed device-side grid
+    must make the out-of-range mass explicit).
+    """
+
+    n_bins: int
+    omega_max: float
+    f: float
+    Cg: float
+
+
+def hist_edges(spec: OmegaHistSpec) -> np.ndarray:
+    """The n_bins+1 bin edges on [0, omega_max] (numpy, host-side)."""
+    return np.linspace(0.0, spec.omega_max, spec.n_bins + 1)
+
+
+def omega_hist_counts(pk, spec: OmegaHistSpec):
+    """Histogram of intrinsic frequency omega(k) over the packet batch.
+
+    Args:
+      pk: (2, Np) coordinate-first wavenumbers (the carry layout).
+      spec: static OmegaHistSpec.
+    Returns:
+      (n_bins + 1,) counts, dtype of pk; slot n_bins is the overflow
+      count (omega >= omega_max; omega < 0 cannot occur).
+
+    The bin reduction is a broadcast compare-and-sum over a
+    (n_bins+1, Np) mask — a pure VPU reduction with the packet axis on
+    lanes; no scatter (TPU scatter-adds serialize).
+    """
+    om = jnp.sqrt(spec.f**2
+                  + spec.Cg**2 * (pk[0] * pk[0] + pk[1] * pk[1]))
+    dw = spec.omega_max / spec.n_bins
+    idx = jnp.floor(om / dw).astype(jnp.int32)
+    idx = jnp.minimum(idx, spec.n_bins)          # overflow slot
+    slots = jnp.arange(spec.n_bins + 1, dtype=jnp.int32)
+    mask = slots[:, None] == idx[None, :]
+    return jnp.sum(mask.astype(pk.dtype), axis=1)

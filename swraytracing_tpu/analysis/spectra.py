@@ -24,6 +24,10 @@ __all__ = [
     "mean_omega_timeseries",
     "ideal_omega_samples",
     "load_packets",
+    "load_omega_hist",
+    "hist_windows",
+    "energy_vs_omega_hist",
+    "hist_moments",
     "kinetic_energy_spectrum",
 ]
 
@@ -105,6 +109,67 @@ def ideal_omega_samples(U, k0: float, f: float, Cg: float,
     Udotk = U @ kv.T                                        # (Np, na)
     omega0 = np.sqrt(f**2 + Cg**2 * k0**2)
     return (omega0 + Udotk).ravel()
+
+
+def load_omega_hist(run_dir):
+    """Load the on-device omega-histogram series written by a driver run
+    in diagnostic mode (drivers omega_hist_bins > 0; rows produced by
+    analysis.device_diag.omega_hist_counts).
+
+    Returns (counts (nframes, n_bins+1), edges (n_bins+1,), t, params).
+    counts[:, -1] is the overflow slot (omega >= omega_max); edges bound
+    the first n_bins slots.
+    """
+    import os
+
+    from ..io import binio, runmeta
+
+    params = runmeta.RunDir(run_dir).read_params()
+    nb = int(params["omega_hist_bins"])
+    wmax = float(params["omega_hist_max"])
+    t = binio.read_field(os.path.join(str(run_dir), "packet_time"))
+    nf = len(t)
+    counts = binio.read_field(os.path.join(str(run_dir), "omega_hist"),
+                              nb + 1, 1, 1, list(range(1, nf + 1)))
+    edges = np.linspace(0.0, wmax, nb + 1)
+    return counts.T, edges, t, params
+
+
+def hist_windows(counts, times_idx, offset: int = 500):
+    """Pooled counts over frame windows [i-offset, i+offset]
+    (load_data.m:43-45 on count rows instead of samples — counts are
+    additive over frames, so this equals histogramming the pooled
+    samples). counts: (nframes, nbins[+1]). Returns list of row sums."""
+    counts = np.asarray(counts)
+    n = counts.shape[0]
+    out = []
+    for i in times_idx:
+        lo = max(0, i - offset)
+        hi = min(n, i + offset + 1)
+        out.append(counts[lo:hi].sum(axis=0))
+    return out
+
+
+def energy_vs_omega_hist(counts, edges):
+    """e(omega) from a pooled count row (load_data.m:50: energy
+    = binCenter * count). Drops the overflow slot if present.
+    Returns (centers, energy)."""
+    counts = np.asarray(counts, dtype=np.float64)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    return centers, centers * counts[:len(centers)]
+
+
+def hist_moments(counts, edges):
+    """(mean, std) of omega from a count row (bin-center approximation;
+    the discretization bias is O(dw^2/12) ~ 1e-4 at production bin
+    widths). Drops the overflow slot."""
+    counts = np.asarray(counts, dtype=np.float64)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    c = counts[:len(centers)]
+    n = c.sum()
+    mean = (centers * c).sum() / n
+    var = (c * (centers - mean) ** 2).sum() / n
+    return mean, np.sqrt(var)
 
 
 def load_packets(run_dir, n_packets: int | None = None):

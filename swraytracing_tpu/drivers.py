@@ -37,8 +37,19 @@ __all__ = ["qgsw_raytrace", "qg2layersw_raytrace", "run_sweep",
 def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                  max_steps, checkpoint_every, resume, log, Kd2,
                  cfl_recheck=None, remargin=None, prev_fields_fn=None,
-                 max_margin_retries=2):
+                 max_margin_retries=2, hist=None, snapshot_every=0):
     """Shared chunked execution + I/O loop for both coupled drivers.
+
+    hist: optional analysis.device_diag.OmegaHistSpec. When set the run
+    is in DIAGNOSTIC mode: the chunk fn emits per-save omega-histogram
+    count rows instead of packet frames (run_coupled_chunk diag_fn), and
+    the loop writes them as frames of `omega_hist.bin` (row length
+    n_bins+1, the last slot the overflow count) next to the usual
+    packet_time frames. Full packet states are written only as sparse
+    snapshots (`packet_snap_x/k/time.bin`) every `snapshot_every` chunks
+    (0 = never mid-run) — the host fetch per chunk drops from O(Np) to
+    O(bins), which is what makes production-length runs viable through
+    a slow host link (RESULTS.md run C postmortem).
 
     cfl_recheck: optional (carry, run) -> run hook called between
     chunks; used by the two-layer driver to rebuild the exponential
@@ -67,13 +78,18 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     n_steps = s.n_steps if max_steps is None else min(s.n_steps, max_steps)
     n_chunks = max(1, int(np.ceil(n_steps / steps_per_chunk)))
 
+    hist_kw = {}
+    if hist is not None:
+        hist_kw = dict(omega_hist_bins=hist.n_bins,
+                       omega_hist_max=hist.omega_max)
     rd.write_params(
         nx=cfg.nx, n_packets=cfg.n_packets,
         near_inertial_factor=cfg.near_inertial_factor, f=cfg.f, Cg=cfg.Cg,
         U_g=cfg.U_g, U0=s.U0, Fr=s.Fr, dt=s.dt, T=s.T, n_steps=n_steps,
         steps_per_save=cfg.steps_per_save,
         packet_steps_per_save=cfg.packet_steps_per_save,
-        stepper=cfg.stepper, n_substeps=cfg.n_substeps, L=cfg.L)
+        stepper=cfg.stepper, n_substeps=cfg.n_substeps, L=cfg.L,
+        **hist_kw)
     rd.write_run_log(
         nx=cfg.nx, n_packets=cfg.n_packets,
         k_radius=cfg.near_inertial_factor * cfg.f, dt=s.dt, T=s.T,
@@ -107,14 +123,37 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
 
     pv_frame = chunk0 + 1
     packet_frame = chunk0 * saves_per_pv + 1
+    snap_frame = (chunk0 // snapshot_every if snapshot_every else 0) + 1
+
+    if hist is not None:
+        from .analysis.device_diag import omega_hist_counts
+        hist_fn = jax.jit(omega_hist_counts, static_argnums=1)
+
+    def write_snapshot(c, frame):
+        """Sparse full-packet snapshot (diagnostic mode): the packet
+        state at a chunk boundary, in the reference's (Np, 2) record
+        layout, plus its time."""
+        binio.write_field(grid.wrap_centered(fetch(c.packet_x).T),
+                          rd.file("packet_snap_x"), frame)
+        binio.write_field(fetch(c.packet_k).T,
+                          rd.file("packet_snap_k"), frame)
+        binio.write_field(fetch(c.flow_state.t),
+                          rd.file("packet_snap_time"), frame)
 
     if chunk0 == 0:
         # initial frames (reference writes frame 1 before the loop)
         # packet state is (2, Np) on device (TPU lane layout); files
         # keep the reference's (Np, 2) record layout
-        binio.write_field(grid.wrap_centered(fetch(carry.packet_x).T),
-                          rd.file("packet_x"), 1)
-        binio.write_field(fetch(carry.packet_k).T, rd.file("packet_k"), 1)
+        if hist is None:
+            binio.write_field(grid.wrap_centered(fetch(carry.packet_x).T),
+                              rd.file("packet_x"), 1)
+            binio.write_field(fetch(carry.packet_k).T,
+                              rd.file("packet_k"), 1)
+        else:
+            binio.write_field(fetch(hist_fn(carry.packet_k, hist)),
+                              rd.file("omega_hist"), 1)
+            write_snapshot(carry, 1)
+            snap_frame = 2 if chunk0 == 0 else snap_frame
         binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
         q0 = fetch(jax.jit(fields_of_state)(carry.flow_state))
         binio.write_field(np.moveaxis(q0, 0, -1) if q0.ndim == 3 else q0,
@@ -134,7 +173,10 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
       while chunk < n_chunks:
         chunk_start_carry = carry
         tc = time.time()
-        carry, (px, pk, ts) = run(carry)
+        if hist is None:
+            carry, (px, pk, ts) = run(carry)
+        else:
+            carry, (hc, ts) = run(carry)
         # Sync with a host fetch: jax.block_until_ready is a no-op on
         # the axon TPU backend (utils/profiling._sync), so timing must
         # close over a fetch — this one doubles as the blow-up check.
@@ -185,17 +227,30 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             carry = carry.replace(
                 overflow=jax.numpy.zeros((), jax.numpy.int32))
 
-        px_np, pk_np, ts_np = fetch((px, pk, ts))
-        for j in range(px_np.shape[0]):
-            packet_frame += 1
-            writer.submit(binio.write_field,
-                          grid.wrap_centered(px_np[j].T),
-                          rd.file("packet_x"), packet_frame)
-            writer.submit(binio.write_field,
-                          np.ascontiguousarray(pk_np[j].T),
-                          rd.file("packet_k"), packet_frame)
-            writer.submit(binio.write_field, ts_np[j],
-                          rd.file("packet_time"), packet_frame)
+        if hist is None:
+            px_np, pk_np, ts_np = fetch((px, pk, ts))
+            for j in range(px_np.shape[0]):
+                packet_frame += 1
+                writer.submit(binio.write_field,
+                              grid.wrap_centered(px_np[j].T),
+                              rd.file("packet_x"), packet_frame)
+                writer.submit(binio.write_field,
+                              np.ascontiguousarray(pk_np[j].T),
+                              rd.file("packet_k"), packet_frame)
+                writer.submit(binio.write_field, ts_np[j],
+                              rd.file("packet_time"), packet_frame)
+        else:
+            hc_np, ts_np = fetch((hc, ts))
+            for j in range(hc_np.shape[0]):
+                packet_frame += 1
+                writer.submit(binio.write_field,
+                              np.ascontiguousarray(hc_np[j]),
+                              rd.file("omega_hist"), packet_frame)
+                writer.submit(binio.write_field, ts_np[j],
+                              rd.file("packet_time"), packet_frame)
+            if snapshot_every and (chunk + 1) % snapshot_every == 0:
+                write_snapshot(carry, snap_frame)
+                snap_frame += 1
         pv_frame += 1
         q = fetch(jax.jit(fields_of_state)(carry.flow_state))
         writer.submit(binio.write_field,
@@ -231,6 +286,8 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     finally:
         writer.close()
 
+    if hist is not None:
+        write_snapshot(carry, snap_frame)  # final full packet state
     rd.finish_run_log()
     log(f"done: {time.time() - t_start:.1f} s wall")
     return carry, rd
@@ -257,12 +314,33 @@ def _make_remargin(state, make_run, log):
     return remargin
 
 
+def _hist_spec(omega_hist_bins, omega_hist_max, cfg):
+    """Build the OmegaHistSpec + diag_fn for a driver's diagnostic mode
+    (0 bins = off). Default omega_max = 2 * w0 * f covers the scattered
+    band of every committed configuration (run B's samples top out at
+    1.65 * w0 * f); the overflow slot makes any truncation visible."""
+    if not omega_hist_bins:
+        return None, None
+    from .analysis.device_diag import OmegaHistSpec, omega_hist_counts
+    wmax = (float(omega_hist_max) if omega_hist_max
+            else 2.0 * cfg.near_inertial_factor * cfg.f)
+    spec = OmegaHistSpec(n_bins=int(omega_hist_bins), omega_max=wmax,
+                         f=cfg.f, Cg=cfg.Cg)
+    return spec, (lambda c: omega_hist_counts(c.packet_k, spec))
+
+
 def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                   T_Fr_days=6000.0, packet_delay_days=1000.0, U_g=0.4,
                   f=3.0, Cg=1.0, out_dir="data", *, max_steps=None,
                   checkpoint_every=50, resume=False, verbose=True,
-                  max_margin_retries=2, **cfg_overrides):
-    """One-layer coupled production run (qgsw_raytrace.m:1 signature)."""
+                  max_margin_retries=2, omega_hist_bins=0,
+                  omega_hist_max=None, snapshot_every=0, **cfg_overrides):
+    """One-layer coupled production run (qgsw_raytrace.m:1 signature).
+
+    omega_hist_bins > 0 switches to diagnostic mode: per-save on-device
+    omega-histogram rows (omega_hist.bin) instead of packet frames, with
+    sparse full snapshots every `snapshot_every` chunks — see
+    _run_coupled."""
     from .models.coupled import (CoupledConfig, setup_coupled,
                                  run_coupled_chunk, march_n_fields)
     from .models.fields import flow_from_qk
@@ -276,10 +354,12 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
     s, carry0 = setup_coupled(cfg)
     saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
     state = {"s": s}
+    hist, diag_fn = _hist_spec(omega_hist_bins, omega_hist_max, cfg)
 
     def make_run():
         return jax.jit(functools.partial(run_coupled_chunk, s=state["s"],
-                                         cfg=cfg, n_saves=saves_per_pv))
+                                         cfg=cfg, n_saves=saves_per_pv,
+                                         diag_fn=diag_fn))
 
     remargin = _make_remargin(state, make_run, log)
 
@@ -293,7 +373,8 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
     return _run_coupled(s, carry0, cfg, run, out_dir, fields_of_state,
                         max_steps, checkpoint_every, resume, log, Kd2,
                         remargin=remargin, prev_fields_fn=prev_fields_fn,
-                        max_margin_retries=max_margin_retries)
+                        max_margin_retries=max_margin_retries, hist=hist,
+                        snapshot_every=snapshot_every)
 
 
 def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
@@ -301,7 +382,8 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         U_g=0.4, f=3.0, Cg=1.0, out_dir="data2", *,
                         max_steps=None, checkpoint_every=50, resume=False,
                         verbose=True, max_margin_retries=2,
-                        **cfg_overrides):
+                        omega_hist_bins=0, omega_hist_max=None,
+                        snapshot_every=0, **cfg_overrides):
     """Two-layer coupled production run (qg2layersw_raytrace.m:1)."""
     from .models.coupled import march_n_fields
     from .models.coupled2 import (Coupled2Config, setup_coupled2,
@@ -318,10 +400,12 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
     saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
 
     state = {"s": s}
+    hist, diag_fn = _hist_spec(omega_hist_bins, omega_hist_max, cfg)
 
     def make_run(setup_now):
         return jax.jit(functools.partial(run_coupled2_chunk, s=setup_now,
-                                         cfg=cfg, n_saves=saves_per_pv))
+                                         cfg=cfg, n_saves=saves_per_pv,
+                                         diag_fn=diag_fn))
 
     def cfl_recheck(carry, run):
         """Rebuild exp(dt L) with halved-CFL dt when the flow outruns
@@ -368,7 +452,8 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         max_steps, checkpoint_every, resume, log,
                         cfg.f / cfg.Cg, cfl_recheck=cfl_recheck,
                         remargin=remargin, prev_fields_fn=prev_fields_fn,
-                        max_margin_retries=max_margin_retries)
+                        max_margin_retries=max_margin_retries, hist=hist,
+                        snapshot_every=snapshot_every)
 
 
 # SLURM sweep table equivalent (/root/reference/parameters.txt:1-21):

@@ -501,13 +501,21 @@ def coupled_flow_packet_step(carry: CoupledCarry, s: CoupledSetup,
 
 def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
                       cfg: CoupledConfig, n_saves: int,
-                      remat: bool = False):
+                      remat: bool = False, diag_fn=None):
     """Advance n_saves * packet_steps_per_save flow steps, emitting a
     packet snapshot every packet_steps_per_save steps (the reference's
     packet save cadence, qgsw_raytrace.m:153-163).
 
     Jit with static (s, cfg, n_saves). Returns
     (carry, (px (n_saves,2,Np), pk (n_saves,2,Np), t (n_saves,))).
+
+    diag_fn: optional carry -> pytree device diagnostic (e.g.
+    analysis.device_diag.omega_hist_counts over packet_k). When given,
+    each save emits (diag, t) INSTEAD of the full packet arrays and the
+    return becomes (carry, (diag (n_saves, ...), t (n_saves,))) — the
+    O(bins)-per-save fetch path that makes production-length runs
+    viable through a slow host link (the reference's equivalent
+    statistic is formed post-hoc from frames, load_data.m:33-52).
 
     remat=True rematerialises each lock-step iteration in reverse-mode
     AD: gradient memory drops from O(total steps * full intermediate
@@ -526,6 +534,8 @@ def run_coupled_chunk(carry: CoupledCarry, s: CoupledSetup,
             return step(cc)
 
         c = lax.fori_loop(0, cfg.packet_steps_per_save, body, c)
+        if diag_fn is not None:
+            return c, (diag_fn(c), c.flow_state.t)
         return c, (c.packet_x, c.packet_k, c.flow_state.t)
 
     return lax.scan(one_save, carry, None, length=n_saves)

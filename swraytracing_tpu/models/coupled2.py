@@ -140,9 +140,11 @@ def coupled2_flow_packet_step(carry: CoupledCarry, s: Coupled2Setup,
 
 def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
                        cfg: Coupled2Config, n_saves: int,
-                       remat: bool = False):
+                       remat: bool = False, diag_fn=None):
     """Advance n_saves * packet_steps_per_save flow steps, emitting a
     packet snapshot per save (qg2layersw_raytrace.m:199-209 cadence).
+    diag_fn: optional carry -> pytree device diagnostic emitted per save
+    in place of the packet arrays (see run_coupled_chunk).
     remat=True rematerialises each lock-step in reverse-mode AD (see
     run_coupled_chunk)."""
     step = lambda cc: coupled2_flow_packet_step(cc, s, cfg)
@@ -154,6 +156,8 @@ def run_coupled2_chunk(carry: CoupledCarry, s: Coupled2Setup,
     def one_save(c, _):
         c = lax.fori_loop(0, cfg.packet_steps_per_save,
                           lambda i, cc: step(cc), c)
+        if diag_fn is not None:
+            return c, (diag_fn(c), c.flow_state.t)
         return c, (c.packet_x, c.packet_k, c.flow_state.t)
 
     return lax.scan(one_save, carry, None, length=n_saves)

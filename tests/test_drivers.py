@@ -32,6 +32,40 @@ def test_qgsw_raytrace_end_to_end(tmp_path):
     assert m and m[-1]["packet_steps_per_sec"] > 0
 
 
+def test_omega_hist_mode_matches_frames(tmp_path):
+    """Diagnostic mode (on-device omega histogram per save) must equal
+    histogramming the frames a normal run writes: same seed + dt =>
+    identical trajectories, and counts are additive over frames."""
+    kw = dict(nx=32, Npackets=16, T_Fr_days=30.0, packet_delay_days=0.1,
+              verbose=False, max_steps=100)
+    drivers.qgsw_raytrace(out_dir=tmp_path / "frames", **kw)
+    drivers.qgsw_raytrace(out_dir=tmp_path / "hist", omega_hist_bins=64,
+                          omega_hist_max=12.0, snapshot_every=1, **kw)
+
+    x, k, t, params = spectra.load_packets(tmp_path / "frames")
+    counts, edges, th, ph = spectra.load_omega_hist(tmp_path / "hist")
+    assert counts.shape == (len(t), 65)
+    assert np.allclose(th, t)
+    om = spectra.omega_of_k(k, params["f"], params["Cg"])
+    for j in range(len(t)):
+        ref = np.histogram(om[j], np.append(edges, np.inf))[0]
+        assert (counts[j] == ref).all(), f"frame {j}"
+    # pooled-window energy equals the sample path's on the same edges
+    pooled = spectra.hist_windows(counts, [len(t) - 1], offset=len(t))[0]
+    c, e = spectra.energy_vs_omega_hist(pooled, edges)
+    ref_counts = np.histogram(om.ravel(), edges)[0]
+    assert np.allclose(e, c * ref_counts)
+    mean, std = spectra.hist_moments(pooled, edges)
+    assert abs(mean - om.ravel().mean()) < (edges[1] - edges[0])
+    # sparse snapshots: reference (Np, 2) record layout, final state
+    # equals the frames run's last frame
+    ns = binio.frame_count(str(tmp_path / "hist" / "packet_snap_k"), 16, 2)
+    assert ns >= 2
+    ksnap = binio.read_field(str(tmp_path / "hist" / "packet_snap_k"),
+                             16, 2, frames=ns)
+    assert np.allclose(ksnap, k[-1])
+
+
 def test_qgsw_resume_continues(tmp_path):
     out = tmp_path / "run-r"
     drivers.qgsw_raytrace(nx=32, Npackets=4, T_Fr_days=30.0,
