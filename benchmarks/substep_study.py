@@ -49,11 +49,12 @@ def study(w0, dt_scale=1.0):
                     * float(jnp.sum(k0[:, 0]**2)))
     print(f"\nw0={w0}  dt={dt:.5f}  omega*dt={omega*dt:.4f}  Np={NP}")
 
-    xt, kt, na, nt = jax.jit(lambda x, k: rays.rk23_adaptive(
+    xt, kt, tt, na, nt = jax.jit(lambda x, k: rays.rk23_adaptive(
         x, k, dt, s.disp, flow, rtol=1e-10, atol=1e-12))(x0, k0)
-    xr, kr, na6, nt6 = jax.jit(lambda x, k: rays.rk23_adaptive(
+    xr, kr, tr, na6, nt6 = jax.jit(lambda x, k: rays.rk23_adaptive(
         x, k, dt, s.disp, flow, rtol=1e-6, atol=1e-7))(x0, k0)
 
+    assert float(tt) == dt and float(tr) == dt, 'truncated oracle'
     scale = float(jnp.max(jnp.abs(kt)))
 
     def err(xa, ka):

@@ -165,7 +165,11 @@ def rk23_adaptive(x, k, T, disp: Dispersion, flow, rtol: float = 1e-6,
     integrator (see models/coupled.py lockstep_step docstring and
     tests/test_rays.py::test_fixed_substeps_within_ode23_envelope).
 
-    Returns (x, k, n_accepted, n_attempted).
+    Returns (x, k, t_end, n_accepted, n_attempted). Callers MUST check
+    t_end == T: if the max_steps budget ran out first the state is the
+    partial integration to t_end, and validating an envelope against it
+    would silently compare to a truncated trajectory (a stiff case can
+    exhaust 200k attempts without converging).
     """
     T = jnp.asarray(T, x.dtype)
     thresh = atol / rtol
@@ -212,7 +216,7 @@ def rk23_adaptive(x, k, T, disp: Dispersion, flow, rtol: float = 1e-6,
                          (x, k, jnp.asarray(0.0, x.dtype), dt_init,
                           f1x0, f1k0, jnp.asarray(0, jnp.int32),
                           jnp.asarray(0, jnp.int32)))
-    return out[0], out[1], out[6], out[7]
+    return out[0], out[1], out[2], out[6], out[7]
 
 
 # ---------------------------------------------------------------------------

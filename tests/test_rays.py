@@ -256,11 +256,14 @@ def test_fixed_substeps_within_ode23_envelope():
     omega0 = np.sqrt(9.0 + float(jnp.sum(k0[:, 0] ** 2)))
     dt = 1.5 / omega0  # the worst reachable omega*dt regime
 
-    xt, kt, _, _ = jax.jit(lambda x, k: rays.rk23_adaptive(
+    xt, kt, tt, _, _ = jax.jit(lambda x, k: rays.rk23_adaptive(
         x, k, dt, s.disp, flow, rtol=1e-10, atol=1e-12))(x0, k0)
-    xr, kr, na, nt = jax.jit(lambda x, k: rays.rk23_adaptive(
+    xr, kr, tr, na, nt = jax.jit(lambda x, k: rays.rk23_adaptive(
         x, k, dt, s.disp, flow, rtol=1e-6, atol=1e-7))(x0, k0)
     assert int(na) > 0 and int(nt) >= int(na)
+    # completed integrations: a truncated oracle would invalidate the
+    # envelope comparison below (VERDICT r3 weak #6)
+    assert float(tt) == dt and float(tr) == dt
 
     m = cfg.n_substeps  # the production default (4)
 
