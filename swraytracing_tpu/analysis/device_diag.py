@@ -50,12 +50,15 @@ def hist_edges(spec: OmegaHistSpec) -> np.ndarray:
     return np.linspace(0.0, spec.omega_max, spec.n_bins + 1)
 
 
-def omega_hist_counts(pk, spec: OmegaHistSpec):
+def omega_hist_counts(pk, spec: OmegaHistSpec, omega_max=None):
     """Histogram of intrinsic frequency omega(k) over the packet batch.
 
     Args:
       pk: (2, Np) coordinate-first wavenumbers (the carry layout).
       spec: static OmegaHistSpec.
+      omega_max: optional TRACED override of spec.omega_max — lets a
+        vmapped ensemble give each member its own scale (w0-dependent)
+        from one static spec (parallel/ensemble.run_ensemble_chunk).
     Returns:
       (n_bins + 1,) counts, dtype of pk; slot n_bins is the overflow
       count (omega >= omega_max; omega < 0 cannot occur).
@@ -66,7 +69,8 @@ def omega_hist_counts(pk, spec: OmegaHistSpec):
     """
     om = jnp.sqrt(spec.f**2
                   + spec.Cg**2 * (pk[0] * pk[0] + pk[1] * pk[1]))
-    dw = spec.omega_max / spec.n_bins
+    wmax = spec.omega_max if omega_max is None else omega_max
+    dw = wmax / spec.n_bins
     idx = jnp.floor(om / dw).astype(jnp.int32)
     idx = jnp.minimum(idx, spec.n_bins)          # overflow slot
     slots = jnp.arange(spec.n_bins + 1, dtype=jnp.int32)

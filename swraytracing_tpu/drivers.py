@@ -463,10 +463,21 @@ DEFAULT_SWEEP = [(w0, ug) for w0 in (2.0, 4.0, 8.0, 16.0)
 
 
 def run_sweep(sweep=None, base_dir="sweep", driver=qgsw_raytrace,
-              **common_kwargs):
+              ensemble=False, **common_kwargs):
     """Execute a (w0, U_g) parameter sweep — the reference's 20-task
-    SLURM array (runqgsw_raytrace.sbatch:10,17-20) as an in-process
-    loop, one run directory per config."""
+    SLURM array (runqgsw_raytrace.sbatch:10,17-20) in one process, one
+    run directory per config.
+
+    ensemble=False: successive driver() calls (each its own jit).
+    ensemble=True: the TPU-native replacement — ALL members advance in
+    ONE vmapped jitted program (parallel/ensemble.py, fused march
+    engaged, members freezing at their own T), with per-member on-device
+    omega histograms as the science output. Extra kwargs are
+    CoupledConfig overrides plus the knobs of _run_sweep_ensemble.
+    """
+    if ensemble:
+        return _run_sweep_ensemble(sweep or DEFAULT_SWEEP, base_dir,
+                                   **common_kwargs)
     results = []
     for i, (w0, ug) in enumerate(sweep or DEFAULT_SWEEP):
         out = f"{base_dir}/run-{i}"
@@ -474,3 +485,231 @@ def run_sweep(sweep=None, base_dir="sweep", driver=qgsw_raytrace,
                            **common_kwargs)
         results.append((out, w0, ug))
     return results
+
+
+def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
+                        T_Fr_days=6000.0, packet_delay_days=1000.0,
+                        f=3.0, Cg=1.0, omega_hist_bins=300,
+                        T_member=None, max_steps=None,
+                        checkpoint_every=0, resume=False, mesh=None,
+                        verbose=True, max_margin_retries=2,
+                        **cfg_overrides):
+    """One-mesh-program sweep (SURVEY §2.7 build target): every (w0,
+    U_g) member advances in a single vmapped jitted chunk; each member
+    writes its own reference-layout run directory with per-save
+    omega-histogram frames (the science statistic), a run.log, and a
+    final packet snapshot.
+
+    T_member: optional (w0, ug) -> simulation-time horizon per member,
+    overriding the setup-derived T (the committed reference logs run
+    T=2000 flat — their T predates the /Fr^2 line). Members freeze
+    bit-identically once their own T is reached; histogram frames stop
+    being written for frozen members.
+
+    mesh: optional jax Mesh to shard the ensemble/packet axes over
+    (parallel.sharding layout); None = single-device.
+    """
+    import jax.numpy as jnp
+
+    from .models.coupled import CoupledConfig
+    from .parallel.ensemble import setup_ensemble, run_ensemble_chunk
+    from .analysis.device_diag import OmegaHistSpec, omega_hist_counts
+    from .utils.host import put
+
+    log = print if verbose else (lambda *_: None)
+    sweep = list(sweep)
+    cfgs = [CoupledConfig(nx=nx, n_packets=Npackets,
+                          near_inertial_factor=w0, U_g=ug,
+                          T_Fr_days=T_Fr_days,
+                          packet_delay_days=packet_delay_days, f=f, Cg=Cg,
+                          **cfg_overrides)
+            for (w0, ug) in sweep]
+    s, es, carry_b = setup_ensemble(cfgs)
+    E = len(cfgs)
+    if T_member is not None:
+        Ts = np.asarray([float(T_member(w0, ug)) for (w0, ug) in sweep])
+        es = es.replace(T=put(Ts))
+    cfg0 = cfgs[0]
+    saves_per_pv = max(1, cfg0.steps_per_save
+                       // cfg0.packet_steps_per_save)
+    steps_per_chunk = saves_per_pv * cfg0.packet_steps_per_save
+
+    dts = np.asarray(fetch(es.dt), np.float64)
+    Ts = np.asarray(fetch(es.T), np.float64)
+    U0s = np.asarray(fetch(es.U0), np.float64)
+    n_steps_i = np.ceil(Ts / dts).astype(np.int64)
+    n_steps = int(n_steps_i.max()) if max_steps is None else \
+        min(int(n_steps_i.max()), max_steps)
+    n_chunks = max(1, int(np.ceil(n_steps / steps_per_chunk)))
+
+    # per-member omega scale: 2 * w0 * f covers the scattered band of
+    # every committed configuration (see _hist_spec)
+    wmax = np.asarray([2.0 * w0 * f for (w0, ug) in sweep])
+    spec = OmegaHistSpec(n_bins=int(omega_hist_bins), omega_max=1.0,
+                         f=f, Cg=Cg)
+    wmax_dev = put(wmax)
+
+    def diag(c, i):
+        return omega_hist_counts(c.packet_k, spec,
+                                 omega_max=wmax_dev[i])
+
+    # per-member run directories (the SLURM array's run-<task> layout)
+    rds = []
+    for i, (w0, ug) in enumerate(sweep):
+        rd = RunDir(f"{base_dir}/run-{i}")
+        rd.write_params(
+            nx=nx, n_packets=Npackets, near_inertial_factor=w0, f=f,
+            Cg=Cg, U_g=ug, U0=float(U0s[i]), Fr=float(U0s[i] / Cg),
+            dt=float(dts[i]), T=float(Ts[i]),
+            n_steps=int(min(n_steps_i[i], n_steps)),
+            steps_per_save=cfg0.steps_per_save,
+            packet_steps_per_save=cfg0.packet_steps_per_save,
+            stepper=cfg0.stepper, n_substeps=cfg0.n_substeps, L=cfg0.L,
+            omega_hist_bins=spec.n_bins, omega_hist_max=float(wmax[i]),
+            sweep_member=i)
+        rd.write_run_log(
+            nx=nx, n_packets=Npackets, k_radius=w0 * f, dt=float(dts[i]),
+            T=float(Ts[i]), spin_up=float(packet_delay_days / f),
+            steps_per_save=cfg0.steps_per_save,
+            packet_steps_per_save=cfg0.packet_steps_per_save, f=f, Cg=Cg,
+            U_g=ug, U0=float(U0s[i]), Fr=float(U0s[i] / Cg),
+            Kd2=f / Cg)
+        rds.append(rd)
+    rd_base = RunDir(base_dir)
+    rd_base.write_params(sweep=[list(map(float, p)) for p in sweep],
+                         nx=nx, n_packets=Npackets, n_chunks=n_chunks,
+                         steps_per_chunk=steps_per_chunk)
+
+    state = {"s": s}
+
+    def make_run():
+        return jax.jit(functools.partial(
+            run_ensemble_chunk, s=state["s"], cfg=cfg0,
+            n_saves=saves_per_pv, diag_fn=diag))
+
+    if mesh is not None:
+        from .parallel import sharding as shd
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pack = NamedSharding(mesh, P("ensemble", None, "packets"))
+        memb = NamedSharding(mesh, P("ensemble"))
+        carry_b = carry_b.replace(
+            packet_x=jax.device_put(carry_b.packet_x, pack),
+            packet_k=jax.device_put(carry_b.packet_k, pack),
+            prev_fields=jax.device_put(carry_b.prev_fields, memb))
+        es = jax.tree.map(lambda a: jax.device_put(a, memb), es)
+
+    run = make_run()
+    chunk0 = 0
+    ck = latest_checkpoint(base_dir) if resume else None
+    if ck is not None:
+        carry_b = restore_state(ck, carry_b, to_device=True)
+        chunk0 = int(ck.split("_")[-1].split(".")[0])
+        log(f"resumed sweep from {ck} at chunk {chunk0}")
+
+    # initial histogram frame per member
+    hist0 = fetch(jax.jit(jax.vmap(diag))(
+        carry_b, jnp.arange(E)))
+    if chunk0 == 0:
+        for i, rd in enumerate(rds):
+            binio.write_field(np.ascontiguousarray(hist0[i]),
+                              rd.file("omega_hist"), 1)
+            binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
+
+    frame_i = np.full(E, chunk0 * saves_per_pv + 1, np.int64)
+    last_t = np.full(E, -1.0)
+    t_start = time.time()
+    margin_retries = 0
+    writer = AsyncWriter()
+    chunk = chunk0
+    # Blow-up check fetches an (E,) bool, not the full (E, nx, nky)
+    # spectra: at 20 members x 256^2 the spectra would cost more tunnel
+    # time than the chunk's compute. The tiny fetch still provides the
+    # timing sync (jax.block_until_ready is a no-op on axon).
+    finite_b = jax.jit(jax.vmap(
+        lambda qk: jax.numpy.isfinite(qk).all()))
+    try:
+      while chunk < n_chunks:
+        chunk_start = carry_b
+        tc = time.time()
+        carry_b, (hb, tsb) = run(carry_b, es)
+        ok_b = np.asarray(fetch(finite_b(carry_b.flow_state.qk)))
+        elapsed = time.time() - tc
+        if not ok_b.all():
+            bad = [i for i in range(E) if not ok_b[i]]
+            log(f"BLOW UP in members {bad} at chunk {chunk}; stopping")
+            rd_base.log_metrics(chunk=chunk, blow_up=True, members=bad)
+            break
+        if getattr(carry_b, "overflow", None) is not None:
+            ov = int(np.max(fetch(carry_b.overflow)))
+            if ov > 0:
+                rd_base.log_metrics(chunk=chunk, march_overflow=ov,
+                                    chunk_discarded=True)
+                if margin_retries < max_margin_retries:
+                    margin_retries += 1
+                    from .ops.pallas_window import max_margin
+                    sn = state["s"]
+                    cap = max_margin(min(sn.grid.nx, sn.grid.ny))
+                    new_m = min(sn.march.margin + ov + 1, cap)
+                    log(f"sweep march margin {sn.march.margin} -> "
+                        f"{new_m}; re-running chunk {chunk}")
+                    state["s"] = sn._replace(
+                        march=sn.march._replace(margin=new_m))
+                    run = make_run()
+                    carry_b = chunk_start
+                    continue
+                log(f"HALT: sweep margin overflow {ov} at chunk {chunk}")
+                carry_b = chunk_start
+                break
+            carry_b = carry_b.replace(overflow=jnp.zeros(
+                (E,), jnp.int32) if carry_b.overflow.ndim else
+                jnp.zeros((), jnp.int32))
+        hb_np, ts_np = fetch((hb, tsb))
+        for i, rd in enumerate(rds):
+            for j in range(hb_np.shape[1]):
+                # frozen members stop producing frames (t stalls)
+                if ts_np[i, j] <= last_t[i]:
+                    continue
+                last_t[i] = ts_np[i, j]
+                frame_i[i] += 1
+                writer.submit(binio.write_field,
+                              np.ascontiguousarray(hb_np[i, j]),
+                              rd.file("omega_hist"), int(frame_i[i]))
+                writer.submit(binio.write_field, ts_np[i, j],
+                              rd.file("packet_time"), int(frame_i[i]))
+        rd_base.log_metrics(
+            chunk=chunk, steps=steps_per_chunk, wall_s=elapsed,
+            members_live=int((ts_np[:, -1] < Ts).sum()),
+            member_steps_per_sec=steps_per_chunk * E / elapsed,
+            packet_steps_per_sec=(steps_per_chunk * E * Npackets
+                                  / elapsed))
+        if checkpoint_every and (chunk + 1) % checkpoint_every == 0:
+            writer.flush()
+            save_state(RunDir(base_dir).path / "ckpt",
+                       carry_b.replace(prev_win=None, overflow=None),
+                       step=chunk + 1)
+        if chunk % 10 == 0:
+            log(f"{100.0 * (chunk + 1) / n_chunks:6.2f}%  "
+                f"t_max={ts_np[:, -1].max():.2f} "
+                f"live={int((ts_np[:, -1] < Ts).sum())}/{E} "
+                f"({steps_per_chunk / elapsed:.1f} ens-steps/s)")
+        chunk += 1
+        margin_retries = 0
+    finally:
+        writer.close()
+
+    # final per-member packet snapshot + PV (reference record layouts)
+    px_np = fetch(carry_b.packet_x)
+    pk_np = fetch(carry_b.packet_k)
+    q_np = fetch(jax.jit(jax.vmap(
+        lambda st: sp.to_grid(st.qk, s.grid)))(carry_b.flow_state))
+    for i, rd in enumerate(rds):
+        binio.write_field(s.grid.wrap_centered(px_np[i].T),
+                          rd.file("packet_snap_x"), 1)
+        binio.write_field(pk_np[i].T, rd.file("packet_snap_k"), 1)
+        binio.write_field(np.asarray(last_t[i]),
+                          rd.file("packet_snap_time"), 1)
+        binio.write_field(q_np[i], rd.file("pv"), 1)
+        binio.write_field(np.asarray(last_t[i]), rd.file("pv_time"), 1)
+        rd.finish_run_log()
+    log(f"sweep done: {time.time() - t_start:.1f} s wall for {E} members")
+    return carry_b, rds

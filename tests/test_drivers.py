@@ -66,6 +66,38 @@ def test_omega_hist_mode_matches_frames(tmp_path):
     assert np.allclose(ksnap, k[-1])
 
 
+def test_run_sweep_ensemble_writes_member_dirs(tmp_path):
+    """run_sweep(ensemble=True): one vmapped program, per-member run
+    dirs with omega-hist frames; members freeze at their own T and stop
+    producing frames."""
+    base = tmp_path / "sweep"
+    sweep = [(2.0, 0.3), (4.0, 0.6)]
+    carry_b, rds = drivers.run_sweep(
+        sweep, base_dir=str(base), ensemble=True, nx=32, Npackets=16,
+        T_Fr_days=30.0, packet_delay_days=0.1, omega_hist_bins=48,
+        window_min_np=1, max_steps=100, verbose=False,
+        T_member=lambda w0, ug: 0.15 if w0 == 4.0 else 1e9)
+    for i, (w0, ug) in enumerate(sweep):
+        counts, edges, t, params = spectra.load_omega_hist(
+            base / f"run-{i}")
+        assert params["near_inertial_factor"] == w0
+        assert params["U_g"] == ug
+        assert float(params["omega_hist_max"]) == 2.0 * w0 * 3.0
+        assert (counts.sum(axis=1) == 16).all()
+        # run.log parses as a reference log
+        log = runmeta.parse_run_log(base / f"run-{i}" / "run.log")
+        assert log["nx"] == 32
+        k = binio.read_field(str(base / f"run-{i}" / "packet_snap_k"),
+                             16, 2, frames=1)
+        assert np.isfinite(k).all()
+    # member 1 froze at T=0.15: fewer frames than member 0, and its
+    # last time does not exceed T by more than a chunk
+    t0 = binio.read_field(str(base / "run-0" / "packet_time"))
+    t1 = binio.read_field(str(base / "run-1" / "packet_time"))
+    assert len(t1) < len(t0)
+    assert t1[-1] >= 0.15 and t1[-1] < 0.4
+
+
 def test_qgsw_resume_continues(tmp_path):
     out = tmp_path / "run-r"
     drivers.qgsw_raytrace(nx=32, Npackets=4, T_Fr_days=30.0,

@@ -70,6 +70,7 @@ def test_ensemble_matches_sequential():
                          packet_delay_days=0.1)
     cfgs = sweep_configs(base, w0s=(2.0, 4.0), ugs=(0.3, 0.6))
     s0, es, carry_b = setup_ensemble(cfgs)
+    assert s0.march is None  # 8 packets < window_min_np: stencil path
     carry_b2, (pxb, pkb, tsb) = jax.jit(functools.partial(
         run_ensemble_chunk, s=s0, cfg=base, n_saves=3))(carry_b, es)
 
@@ -80,6 +81,49 @@ def test_ensemble_matches_sequential():
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(pkb[i]), np.asarray(pk),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_ensemble_fused_march_matches_sequential():
+    """The fused march ENGAGED under vmap (unified ensemble-max margin)
+    must reproduce each member's solo run: margin sizes the gathered
+    window, not the stencil arithmetic, so a wider shared margin changes
+    nothing while no packet overflows (VERDICT r3 #3). Tolerance is
+    ~1 ulp: XLA compiles the vmapped program with different fusion/FMA
+    choices than the solo one."""
+    base = CoupledConfig(nx=32, n_packets=64, T_Fr_days=10.0,
+                         packet_delay_days=0.05, window_min_np=1)
+    cfgs = sweep_configs(base, w0s=(2.0, 8.0), ugs=(0.3, 0.9))
+    s0, es, carry_b = setup_ensemble(cfgs)
+    assert s0.march is not None
+    assert s0.march.margin == max(
+        setup_coupled(c)[0].march.margin for c in cfgs)
+    carry_b2, (pxb, pkb, tsb) = jax.jit(functools.partial(
+        run_ensemble_chunk, s=s0, cfg=base, n_saves=3))(carry_b, es)
+    assert int(np.max(np.asarray(carry_b2.overflow))) == 0
+
+    for i, cfg in enumerate(cfgs):
+        s, carry = setup_coupled(cfg)
+        c, (px, pk, ts) = run_coupled_chunk(carry, s, cfg, 3)
+        np.testing.assert_allclose(np.asarray(pxb[i]), np.asarray(px),
+                                   rtol=1e-14, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(pkb[i]), np.asarray(pk),
+                                   rtol=1e-14, atol=1e-14)
+
+    # per-member on-device diagnostics ride the same vmap: per-member
+    # omega scales via the member-index argument
+    from swraytracing_tpu.analysis.device_diag import (OmegaHistSpec,
+                                                       omega_hist_counts)
+    wmax = jnp.asarray([2.0 * c.near_inertial_factor * c.f for c in cfgs])
+    spec = OmegaHistSpec(n_bins=32, omega_max=1.0, f=base.f, Cg=base.Cg)
+
+    def diag(c, i):
+        return omega_hist_counts(c.packet_k, spec, omega_max=wmax[i])
+
+    carry_b3, (hb, tsb2) = jax.jit(functools.partial(
+        run_ensemble_chunk, s=s0, cfg=base, n_saves=2,
+        diag_fn=diag))(carry_b, es)
+    hb = np.asarray(hb)
+    assert hb.shape == (4, 2, 33) and (hb.sum(axis=-1) == 64).all()
 
 
 def test_ensemble_freezes_past_T():
