@@ -54,6 +54,10 @@ def main(argv=None):
     _common(p)
     p.add_argument("--base-dir", default="sweep")
     p.add_argument("--model", choices=("qgsw", "qg2"), default="qgsw")
+    p.add_argument("--ensemble", action="store_true",
+                   help="all members in ONE vmapped mesh program "
+                        "(on-device omega histograms instead of frames)")
+    p.add_argument("--hist-bins", type=int, default=300)
 
     p = sub.add_parser("analyze", help="e(omega) + trajectory figures")
     p.add_argument("run_dir")
@@ -77,12 +81,22 @@ def main(argv=None):
         _platform(args)
         from . import drivers
 
-        fn = (drivers.qgsw_raytrace if args.model == "qgsw"
-              else drivers.qg2layersw_raytrace)
-        drivers.run_sweep(base_dir=args.base_dir, driver=fn, nx=args.nx,
-                          Npackets=args.packets, T_Fr_days=args.t_fr_days,
-                          packet_delay_days=args.delay_days, f=args.f,
-                          Cg=args.cg, max_steps=args.max_steps)
+        if args.ensemble:
+            drivers.run_sweep(
+                base_dir=args.base_dir, ensemble=True, nx=args.nx,
+                Npackets=args.packets, T_Fr_days=args.t_fr_days,
+                packet_delay_days=args.delay_days, f=args.f, Cg=args.cg,
+                omega_hist_bins=args.hist_bins, resume=args.resume,
+                max_steps=args.max_steps)
+        else:
+            fn = (drivers.qgsw_raytrace if args.model == "qgsw"
+                  else drivers.qg2layersw_raytrace)
+            drivers.run_sweep(base_dir=args.base_dir, driver=fn,
+                              nx=args.nx, Npackets=args.packets,
+                              T_Fr_days=args.t_fr_days,
+                              packet_delay_days=args.delay_days,
+                              f=args.f, Cg=args.cg,
+                              max_steps=args.max_steps)
     elif args.cmd == "analyze":
         import os
 

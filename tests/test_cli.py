@@ -25,6 +25,20 @@ def test_cli_help_lists_subcommands():
         assert sub in r.stdout
 
 
+def test_cli_ensemble_sweep(tmp_path):
+    base = tmp_path / "cli-sweep"
+    r = _run("sweep", "--ensemble", "--nx", "32", "--packets", "16",
+             "--t-fr-days", "30", "--delay-days", "0.1", "--base-dir",
+             str(base), "--max-steps", "60", "--hist-bins", "32",
+             "--platform", "cpu")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # 20 member dirs with histogram frames + reference-format logs
+    runs = sorted(base.glob("run-*"))
+    assert len(runs) == 20
+    assert (runs[0] / "omega_hist.bin").exists()
+    assert (runs[0] / "run.log").exists()
+
+
 def test_cli_qgsw_runs_and_analyzes(tmp_path):
     out = tmp_path / "cli-run"
     r = _run("qgsw", "--nx", "32", "--packets", "4", "--t-fr-days", "30",
