@@ -37,8 +37,17 @@ __all__ = ["qgsw_raytrace", "qg2layersw_raytrace", "run_sweep",
 def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
                  max_steps, checkpoint_every, resume, log, Kd2,
                  cfl_recheck=None, remargin=None, prev_fields_fn=None,
-                 max_margin_retries=2, hist=None, snapshot_every=0):
+                 max_margin_retries=2, hist=None, snapshot_every=0,
+                 monitor_every=0):
     """Shared chunked execution + I/O loop for both coupled drivers.
+
+    monitor_every: render the current PV field with the packet ensemble
+    overlaid to figs/live/ every N chunks — the reference's in-run
+    plotting (qg2layersw_raytrace.m:211-239 pcolors both layers every 10
+    steps; rsw/swk.m:155-179 plotstuff/hmov), as files instead of a
+    figure window. Uses the PV grid already fetched for the frame write
+    plus a device-side packet subsample (<=4096 packets) so the extra
+    host traffic is a few hundred KB.
 
     hist: optional analysis.device_diag.OmegaHistSpec. When set the run
     is in DIAGNOSTIC mode: the chunk fn emits per-save omega-histogram
@@ -259,6 +268,20 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
         writer.submit(binio.write_field, float(ts_np[-1]),
                       rd.file("pv_time"), pv_frame)
 
+        if monitor_every and (chunk + 1) % monitor_every == 0:
+            from .analysis import plots
+            stride = max(1, carry.packet_x.shape[-1] // 4096)
+            px_m, pk_m = fetch(jax.jit(
+                lambda c: (c.packet_x[:, ::stride],
+                           c.packet_k[:, ::stride]))(carry))
+            live = rd.path / "figs" / "live"
+            live.mkdir(parents=True, exist_ok=True)
+            plots.render_pv_frame(
+                q[0] if q.ndim == 3 else q, grid, packet_x=px_m.T,
+                packet_k=pk_m.T,
+                path=live / f"frame_{pv_frame:06d}.png",
+                title=f"t={float(ts_np[-1]):.2f}")
+
         rd.log_metrics(chunk=chunk, t=float(ts_np[-1]),
                        steps=steps_per_chunk, wall_s=elapsed,
                        steps_per_sec=steps_per_chunk / elapsed,
@@ -334,7 +357,8 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                   f=3.0, Cg=1.0, out_dir="data", *, max_steps=None,
                   checkpoint_every=50, resume=False, verbose=True,
                   max_margin_retries=2, omega_hist_bins=0,
-                  omega_hist_max=None, snapshot_every=0, **cfg_overrides):
+                  omega_hist_max=None, snapshot_every=0, monitor_every=0,
+                  **cfg_overrides):
     """One-layer coupled production run (qgsw_raytrace.m:1 signature).
 
     omega_hist_bins > 0 switches to diagnostic mode: per-save on-device
@@ -374,7 +398,8 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         max_steps, checkpoint_every, resume, log, Kd2,
                         remargin=remargin, prev_fields_fn=prev_fields_fn,
                         max_margin_retries=max_margin_retries, hist=hist,
-                        snapshot_every=snapshot_every)
+                        snapshot_every=snapshot_every,
+                        monitor_every=monitor_every)
 
 
 def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
@@ -383,7 +408,8 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         max_steps=None, checkpoint_every=50, resume=False,
                         verbose=True, max_margin_retries=2,
                         omega_hist_bins=0, omega_hist_max=None,
-                        snapshot_every=0, **cfg_overrides):
+                        snapshot_every=0, monitor_every=0,
+                        **cfg_overrides):
     """Two-layer coupled production run (qg2layersw_raytrace.m:1)."""
     from .models.coupled import march_n_fields
     from .models.coupled2 import (Coupled2Config, setup_coupled2,
@@ -453,7 +479,8 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         cfg.f / cfg.Cg, cfl_recheck=cfl_recheck,
                         remargin=remargin, prev_fields_fn=prev_fields_fn,
                         max_margin_retries=max_margin_retries, hist=hist,
-                        snapshot_every=snapshot_every)
+                        snapshot_every=snapshot_every,
+                        monitor_every=monitor_every)
 
 
 # SLURM sweep table equivalent (/root/reference/parameters.txt:1-21):
