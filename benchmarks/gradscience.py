@@ -40,29 +40,32 @@ def study(tag, nx, n_packets, n_saves, fd_eps):
     qk0 = carry0.flow_state.qk
     n_steps = n_saves * cfg.packet_steps_per_save
 
+    # carry passed as an ARGUMENT, not closed over: a closed-over device
+    # array is embedded as a jaxpr constant, and materializing the
+    # complex qk constant needs a host copy the axon backend cannot do
     @jax.jit
-    def loss(a):
-        c = carry0.replace(flow_state=carry0.flow_state.replace(
-            qk=a.astype(qk0.real.dtype) * qk0))
+    def loss(a, c0):
+        c = c0.replace(flow_state=c0.flow_state.replace(
+            qk=a.astype(qk0.real.dtype) * c0.flow_state.qk))
         c2, _ = run_coupled_chunk(c, s, cfg, n_saves, remat=True)
         om = jnp.sqrt(cfg.f**2 + cfg.Cg**2
                       * (c2.packet_k[0]**2 + c2.packet_k[1]**2))
         return jnp.var(om)
 
     one = jnp.asarray(1.0)
-    L0 = float(loss(one))                      # compile + value
+    L0 = float(loss(one, carry0))              # compile + value
     t0 = time.perf_counter()
-    L0 = float(loss(one))
+    L0 = float(loss(one, carry0))
     fwd_s = time.perf_counter() - t0
 
     g_fn = jax.jit(jax.grad(loss))
-    g = float(g_fn(one))                       # compile
+    g = float(g_fn(one, carry0))               # compile
     t0 = time.perf_counter()
-    g = float(g_fn(one))
+    g = float(g_fn(one, carry0))
     grad_s = time.perf_counter() - t0
 
-    fd = (float(loss(one + fd_eps)) - float(loss(one - fd_eps))) \
-        / (2.0 * fd_eps)
+    fd = (float(loss(one + fd_eps, carry0))
+          - float(loss(one - fd_eps, carry0))) / (2.0 * fd_eps)
     rel = abs(g - fd) / max(abs(fd), 1e-30)
     row = dict(nx=nx, n_packets=n_packets, coupled_steps=n_steps,
                march_engaged=s.march is not None,

@@ -45,7 +45,7 @@ omb = spectra.omega_of_k(kb, f, Cg)
 
 # window half-width in TIME: the reference's +-500 packet frames
 half_t = 500 * 5 * pb["dt"]
-release = 1200.0
+release = 1000.0 / 3.0
 t_end = min(tg[-1], tb[-1])
 centers_t = [release + half_t + 1.0,
              release + 0.25 * (t_end - release),
