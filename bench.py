@@ -34,6 +34,12 @@ STEPPER = os.environ.get("BENCH_STEPPER", "rk23")
 # under that (a fused-march lock-step at 1e6 packets is ~40 ms device
 # time; 20 steps/call ~ 1 s).
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "20"))
+# Packet substeps per flow step. Default 4 (the shipping config).
+# BENCH_SUBSTEPS=2 is also VALIDATED against the adaptive-ode23 oracle
+# (models/coupled.py lockstep_step docstring: err 3.1-3.9e-10 at the
+# headline config, ~2600x inside the reference's 1e-6 envelope) and
+# halves the march kernel's stage evaluations.
+N_SUBSTEPS = int(os.environ.get("BENCH_SUBSTEPS", "4"))
 BASELINE_PACKET_STEPS_PER_SEC = 2.1e3  # MATLAB reference, BASELINE.md
 
 
@@ -59,7 +65,7 @@ def main():
         cfg = Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
                      packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
     cfg = cfg._replace(packet_steps_per_save=STEPS_PER_CALL,
-                       stepper=STEPPER)
+                       stepper=STEPPER, n_substeps=N_SUBSTEPS)
     s, carry = setup(cfg)
 
     run = jax.jit(functools.partial(run_chunk, s=s, cfg=cfg, n_saves=1))

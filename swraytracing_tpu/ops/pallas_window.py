@@ -175,22 +175,57 @@ def _t_kernel(x_ref, o_ref):
     o_ref[:] = x_ref[:].T
 
 
+def _pallas_transpose_impl(W, block: int, interpret: bool):
+    A, B = W.shape
+    if B % block == 0:      # tile the minor axis (the (K, ncells) case)
+        in_s = pl.BlockSpec((A, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        out_s = pl.BlockSpec((block, A), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        grid = (B // block,)
+    elif A % block == 0:    # tile the major axis (the backward call)
+        in_s = pl.BlockSpec((block, B), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        out_s = pl.BlockSpec((B, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        grid = (A // block,)
+    else:
+        raise ValueError(f"neither axis of {W.shape} is a multiple of "
+                         f"{block}")
+    return pl.pallas_call(
+        _t_kernel,
+        grid=grid,
+        in_specs=[in_s],
+        out_specs=out_s,
+        out_shape=jax.ShapeDtypeStruct((B, A), W.dtype),
+        interpret=interpret,
+    )(W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def pallas_transpose(W, block: int = 2048, interpret: bool = False):
     """Tiled on-chip transpose (K, N) -> (N, K). XLA's transpose of the
     window array runs far below HBM bandwidth on this backend (probe:
-    ~41 ms for 1.5 GB); tiling it through VMEM keeps it streaming."""
-    K, N = W.shape
-    assert N % block == 0, (N, block)
-    return pl.pallas_call(
-        _t_kernel,
-        grid=(N // block,),
-        in_specs=[pl.BlockSpec((K, block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((block, K), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, K), W.dtype),
-        interpret=interpret,
-    )(W)
+    ~41 ms for 1.5 GB); tiling it through VMEM keeps it streaming.
+
+    custom_vjp: a transpose's cotangent is a transpose, but pallas_call
+    has no autodiff rule — without this the FLOW-gradient path on TPU
+    (d loss / d qk through build_gather_windows) fails to linearize
+    under jax.checkpoint (found by the round-4 run-scale grad demo; the
+    CPU tests never hit it because use_pallas=False there). The
+    backward tiles the other axis (N % block still holds)."""
+    return _pallas_transpose_impl(W, block, interpret)
+
+
+def _pallas_transpose_fwd(W, block, interpret):
+    return _pallas_transpose_impl(W, block, interpret), None
+
+
+def _pallas_transpose_bwd(block, interpret, _, ct):
+    return (_pallas_transpose_impl(ct, block, interpret),)
+
+
+pallas_transpose.defvjp(_pallas_transpose_fwd, _pallas_transpose_bwd)
 
 
 def build_gather_windows(F, spec: MarchSpec):
