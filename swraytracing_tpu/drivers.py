@@ -520,7 +520,7 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
                         T_member=None, max_steps=None,
                         checkpoint_every=0, resume=False, mesh=None,
                         verbose=True, max_margin_retries=2,
-                        **cfg_overrides):
+                        member_ids=None, **cfg_overrides):
     """One-mesh-program sweep (SURVEY §2.7 build target): every (w0,
     U_g) member advances in a single vmapped jitted chunk; each member
     writes its own reference-layout run directory with per-save
@@ -535,6 +535,12 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
 
     mesh: optional jax Mesh to shard the ensemble/packet axes over
     (parallel.sharding layout); None = single-device.
+
+    member_ids: run-directory indices for the members (default 0..E-1).
+    Lets a sweep be split into several sequential programs writing into
+    one base_dir with parameters.txt-consistent numbering (members with
+    very different horizons would otherwise ride along frozen in one
+    program, wasting device time).
     """
     import jax.numpy as jnp
 
@@ -580,10 +586,14 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
         return omega_hist_counts(c.packet_k, spec,
                                  omega_max=wmax_dev[i])
 
+    if member_ids is None:
+        member_ids = list(range(E))
+    assert len(member_ids) == E
+
     # per-member run directories (the SLURM array's run-<task> layout)
     rds = []
     for i, (w0, ug) in enumerate(sweep):
-        rd = RunDir(f"{base_dir}/run-{i}")
+        rd = RunDir(f"{base_dir}/run-{member_ids[i]}")
         rd.write_params(
             nx=nx, n_packets=Npackets, near_inertial_factor=w0, f=f,
             Cg=Cg, U_g=ug, U0=float(U0s[i]), Fr=float(U0s[i] / Cg),
@@ -593,7 +603,7 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
             packet_steps_per_save=cfg0.packet_steps_per_save,
             stepper=cfg0.stepper, n_substeps=cfg0.n_substeps, L=cfg0.L,
             omega_hist_bins=spec.n_bins, omega_hist_max=float(wmax[i]),
-            sweep_member=i)
+            sweep_member=member_ids[i])
         rd.write_run_log(
             nx=nx, n_packets=Npackets, k_radius=w0 * f, dt=float(dts[i]),
             T=float(Ts[i]), spin_up=float(packet_delay_days / f),
@@ -627,7 +637,8 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
 
     run = make_run()
     chunk0 = 0
-    ck = latest_checkpoint(base_dir) if resume else None
+    ck = latest_checkpoint(base_dir, prefix=f"ckpt-g{member_ids[0]}") \
+        if resume else None
     if ck is not None:
         carry_b = restore_state(ck, carry_b, to_device=True)
         chunk0 = int(ck.split("_")[-1].split(".")[0])
@@ -711,7 +722,7 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
                                   / elapsed))
         if checkpoint_every and (chunk + 1) % checkpoint_every == 0:
             writer.flush()
-            save_state(RunDir(base_dir).path / "ckpt",
+            save_state(RunDir(base_dir).path / f"ckpt-g{member_ids[0]}",
                        carry_b.replace(prev_win=None, overflow=None),
                        step=chunk + 1)
         if chunk % 10 == 0:
