@@ -95,6 +95,10 @@ class CoupledConfig(NamedTuple):
     # sizing; None = size from dt and the initial max speed. Drivers
     # widen the margin automatically when the kernel reports overflow.
     march_margin: int | None = None
+    # One-kernel window build (pallas_window.build_windows_fused):
+    # writes the (ncells, K) window array once instead of XLA shifted
+    # copies + tiled transpose. Exact same output (tested).
+    march_fused_build: bool = False
 
 
 class CoupledSetup(NamedTuple):
@@ -229,7 +233,8 @@ def build_march_spec(cfg, grid: SpectralGrid, dt: float, U0: float):
         stepper=cfg.stepper, margin=margin, tiles_transposed=True,
         use_pallas=jax.default_backend() != "cpu",
         nf=2 if uv else 6, grad_from_interp=uv,
-        combined_gather=getattr(cfg, "march_combined_gather", False))
+        combined_gather=getattr(cfg, "march_combined_gather", False),
+        fused_build=getattr(cfg, "march_fused_build", False))
 
 
 def window_threshold(cfg) -> int:

@@ -69,6 +69,7 @@ class Coupled2Config(NamedTuple):
     march_combined_gather: bool = True  # see CoupledConfig
     window_min_np: int = 65536          # see CoupledConfig.window_min_np
     march_margin: int | None = None     # see CoupledConfig.march_margin
+    march_fused_build: bool = False     # see CoupledConfig
 
 
 class Coupled2Setup(NamedTuple):

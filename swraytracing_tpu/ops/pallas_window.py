@@ -103,6 +103,13 @@ class MarchSpec(NamedTuple):
     # gather costs per INDEX; two K-row gathers cost twice one 2K-row
     # gather at small K). fused_march's pw2 argument is then a dummy.
     combined_gather: bool = False
+    # Build the (ncells, K) window array in ONE Pallas kernel (periodic
+    # pad in XLA, then per-row-block DMA + in-VMEM shift/stack/reshape)
+    # instead of XLA shifted copies + the tiled transpose — halves the
+    # window-array HBM traffic of the build phase. Requires
+    # tiles_transposed and nx % rows-per-tile == 0; falls back to the
+    # two-pass build otherwise.
+    fused_build: bool = False
 
     @property
     def S(self) -> int:
@@ -228,11 +235,97 @@ def _pallas_transpose_bwd(block, interpret, _, ct):
 pallas_transpose.defvjp(_pallas_transpose_fwd, _pallas_transpose_bwd)
 
 
+def _fused_build_rows(nx: int, ny: int) -> int:
+    """Grid rows per fused-build tile: ~2048 cells per tile, nx-divisible."""
+    r = max(1, 2048 // ny)
+    while r > 1 and nx % r:
+        r //= 2
+    return r
+
+
+def _build_kernel(fp_ref, out_ref, scratch, sem, *, nf, r, SW, ny,
+                  interpret):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        fp_ref.at[:, pl.ds(i * r, r + SW - 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    rows = []
+    for f in range(nf):
+        for sx in range(SW):
+            sub = scratch[f, sx:sx + r, :]          # (r, nyp)
+            for sy in range(SW):
+                rows.append(sub[:, sy:sy + ny])     # (r, ny)
+    W = jnp.stack(rows, axis=-1)                    # (r, ny, K)
+    out_ref[:] = W.reshape(r * ny, nf * SW * SW)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def build_windows_fused(F, spec: MarchSpec):
+    """ONE-kernel window build: (nf, nx, ny) -> (ncells, K) directly.
+
+    The two-pass build (build_margin_windows: K shifted flattened
+    copies; then pallas_transpose) writes AND re-reads the (K, ncells)
+    array through HBM. Here the periodic pad happens in XLA (a ~1.05x
+    field copy), and each kernel program DMAs its row-block of the
+    padded field once into VMEM and emits the (r*ny, K) tile by static
+    shifts — the window array is written exactly once.
+
+    VJP: the build is linear in F, so the backward is its XLA
+    linear-transpose (grad runs only; forward runs never pay it).
+    """
+    return _build_windows_fused_impl(F, spec)
+
+
+def _build_windows_fused_impl(F, spec: MarchSpec):
+    F = F[:spec.nf]
+    nf, nx, ny = F.shape
+    SW = spec.SW
+    lo = spec.order + spec.margin
+    hi = spec.order + 1 + spec.margin
+    r = _fused_build_rows(nx, ny)
+    Fp = jnp.concatenate([F[:, :, ny - lo:], F, F[:, :, :hi]], axis=2)
+    Fp = jnp.concatenate([Fp[:, nx - lo:], Fp, Fp[:, :hi]], axis=1)
+    nyp = ny + SW - 1
+    return pl.pallas_call(
+        functools.partial(_build_kernel, nf=nf, r=r, SW=SW, ny=ny,
+                          interpret=spec.interpret),
+        grid=(nx // r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((r * ny, spec.K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nx * ny, spec.K), F.dtype),
+        scratch_shapes=[pltpu.VMEM((nf, r + SW - 1, nyp), F.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=spec.interpret,
+    )(Fp)
+
+
+def _build_windows_fused_fwd(F, spec):
+    # residual is F itself (a few-MB field stack) — only its
+    # shape/dtype are consumed, but residuals must be jax types
+    return _build_windows_fused_impl(F, spec), F
+
+
+def _build_windows_fused_bwd(spec, F, ct):
+    lin = lambda F_: build_margin_windows(F_, spec).T
+    (dF,) = jax.linear_transpose(
+        lin, jax.ShapeDtypeStruct(F.shape, F.dtype))(ct)
+    return (dF,)
+
+
+build_windows_fused.defvjp(_build_windows_fused_fwd,
+                           _build_windows_fused_bwd)
+
+
 def build_gather_windows(F, spec: MarchSpec):
     """Cell-window array in the layout gather_packet_windows expects:
     (K, ncells) natural when tiles_transposed=False, else (ncells, K)
     for contiguous row gathers (the fast path on this TPU — column
     gathers measured ~4x slower per index)."""
+    if spec.tiles_transposed and spec.fused_build and spec.use_pallas \
+            and not spec.interpret:
+        return build_windows_fused(F, spec)
     W = build_margin_windows(F, spec)
     if not spec.tiles_transposed:
         return W

@@ -380,3 +380,32 @@ def test_pallas_transpose_grad_and_orientations():
     gc = jax.grad(jax.checkpoint(loss_p))(W)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gx),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_fused_build_matches_two_pass():
+    """build_windows_fused (one-kernel pad+shift+transpose) must equal
+    build_margin_windows().T exactly, forward and gradient (its VJP is
+    the XLA linear transpose of the two-pass build)."""
+    spec = pw.MarchSpec(nx=32, ny=32, dx=0.1, dy=0.1, f=3.0, Cg=1.0,
+                        margin=2, nf=2, tiles_transposed=True,
+                        interpret=True, use_pallas=True, fused_build=True)
+    rng = np.random.default_rng(3)
+    F = jnp.asarray(rng.standard_normal((2, 32, 32)))
+    ref = pw.build_margin_windows(F, spec).T
+    got = pw.build_windows_fused(F, spec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def loss_f(F_):
+        return jnp.sum(jnp.sin(pw.build_windows_fused(F_, spec)))
+
+    def loss_r(F_):
+        return jnp.sum(jnp.sin(pw.build_margin_windows(F_, spec).T))
+
+    gf = jax.grad(loss_f)(F)
+    gr = jax.grad(loss_r)(F)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-13, atol=1e-13)
+    # non-square-tile row counts divide nx
+    assert pw._fused_build_rows(256, 256) == 8
+    assert pw._fused_build_rows(512, 512) == 4
+    assert pw._fused_build_rows(32, 32) == 32  # 2048//32=64 -> capped @ nx divisor
