@@ -119,6 +119,16 @@ fig.tight_layout()
 fig.savefig(os.path.join(figs, "energy_by_ug.png"), dpi=120)
 plt.close(fig)
 
+# compact committed artifact per member: final-window pooled counts
+for rd, counts, edges, t, p in members:
+    n = counts.shape[0]
+    off = min(500, max(1, n // 4))
+    pooled = spectra.hist_windows(counts, [n - off - 1], off)[0]
+    np.savez(os.path.join(rd, "omega_windows.npz"),
+             pooled_counts=pooled[None], edges=edges,
+             window_centers_t=np.asarray([t[n - off - 1]]),
+             half_width_t=off * (t[2] - t[1]) if n > 2 else 0.0)
+
 with open(os.path.join(base, "sweep_summary.json"), "w") as fh:
     json.dump(summary, fh, indent=1)
 print(json.dumps(summary, indent=1))

@@ -141,6 +141,17 @@ with open(os.path.join(G, "tpu_vs_cpu_metrics.json"), "w") as fh:
     json.dump(results, fh, indent=1)
 print(json.dumps(results, indent=1))
 
+# compact committed artifact: the pooled window counts behind the
+# figures (the full omega_hist.bin is ~400 MB and gitignored; this npz
+# is a few KB and reproduces every curve above)
+offG = max(1, int(round(half_t / (tg[2] - tg[1]))))
+pooled_rows = np.stack([
+    spectra.hist_windows(cg, [int(np.searchsorted(tg, t_c))], offG)[0]
+    for t_c in centers_t])
+np.savez(os.path.join(G, "omega_windows.npz"),
+         pooled_counts=pooled_rows, edges=edges,
+         window_centers_t=np.asarray(centers_t), half_width_t=half_t)
+
 # loop-rate comparison (run B sustained ~157 steps/s avg on CPU)
 import json as _j
 rates = [l for l in open(os.path.join(G, "metrics.jsonl"))
