@@ -98,6 +98,29 @@ def test_run_sweep_ensemble_writes_member_dirs(tmp_path):
     assert t1[-1] >= 0.15 and t1[-1] < 0.4
 
 
+def test_run_sweep_ensemble_sharded_matches_unsharded(tmp_path):
+    """The sweep's mesh path (members sharded over the ensemble axis,
+    packets over the packet axis) must write identical histogram series
+    to the single-device run."""
+    import jax
+
+    from swraytracing_tpu.parallel.sharding import make_mesh
+
+    sweep = [(2.0, 0.3), (4.0, 0.6)]
+    kw = dict(ensemble=True, nx=32, Npackets=16, T_Fr_days=30.0,
+              packet_delay_days=0.1, omega_hist_bins=48,
+              window_min_np=1, max_steps=60, verbose=False)
+    drivers.run_sweep(sweep, base_dir=tmp_path / "plain", **kw)
+    mesh = make_mesh(jax.devices(), ensemble=2)
+    drivers.run_sweep(sweep, base_dir=tmp_path / "mesh", mesh=mesh, **kw)
+    for i in range(2):
+        c1, e1, t1, _ = spectra.load_omega_hist(tmp_path / "plain"
+                                                / f"run-{i}")
+        c2, e2, t2, _ = spectra.load_omega_hist(tmp_path / "mesh"
+                                                / f"run-{i}")
+        assert (c1 == c2).all() and np.allclose(t1, t2)
+
+
 def test_qgsw_resume_continues(tmp_path):
     out = tmp_path / "run-r"
     drivers.qgsw_raytrace(nx=32, Npackets=4, T_Fr_days=30.0,
