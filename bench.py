@@ -40,6 +40,9 @@ STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "20"))
 # headline config, ~2600x inside the reference's 1e-6 envelope) and
 # halves the march kernel's stage evaluations.
 N_SUBSTEPS = int(os.environ.get("BENCH_SUBSTEPS", "4"))
+# One-kernel window build (MarchSpec.fused_build); default off until
+# benchmarks/winbuild_probe.py decides.
+FUSED_BUILD = os.environ.get("BENCH_FUSED_BUILD", "0") == "1"
 BASELINE_PACKET_STEPS_PER_SEC = 2.1e3  # MATLAB reference, BASELINE.md
 
 
@@ -65,7 +68,8 @@ def main():
         cfg = Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
                      packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0)
     cfg = cfg._replace(packet_steps_per_save=STEPS_PER_CALL,
-                       stepper=STEPPER, n_substeps=N_SUBSTEPS)
+                       stepper=STEPPER, n_substeps=N_SUBSTEPS,
+                       march_fused_build=FUSED_BUILD)
     s, carry = setup(cfg)
 
     run = jax.jit(functools.partial(run_chunk, s=s, cfg=cfg, n_saves=1))

@@ -122,6 +122,28 @@ fig.tight_layout()
 fig.savefig(os.path.join(figs, "energy_vs_omega.png"), dpi=130)
 plt.close(fig)
 
+# ---- k-space diffusion across the sparse snapshots (the
+# raytracing_figures.m ring->annulus picture, from packet_snap_k)
+ns_all = binio.frame_count(os.path.join(G, "packet_snap_k"),
+                           pg["n_packets"], 2)
+tsnap = binio.read_field(os.path.join(G, "packet_snap_time"))
+pick = [i for i in range(1, ns_all + 1)
+        if tsnap[i - 1] >= 1000.0 / 3.0 - 1] or [ns_all]
+pick = pick[:: max(1, len(pick) // 4)][:4] + [ns_all]
+fig, axes = plt.subplots(1, len(pick), figsize=(3.2 * len(pick), 3.4),
+                         sharex=True, sharey=True)
+for ax, fr in zip(np.atleast_1d(axes), pick):
+    kk = binio.read_field(os.path.join(G, "packet_snap_k"),
+                          pg["n_packets"], 2, frames=fr)
+    ax.plot(kk[::32, 0], kk[::32, 1], ".", ms=0.5, alpha=0.3)
+    ax.set_title(f"t={tsnap[fr-1]:.0f}", fontsize=9)
+    ax.set_aspect("equal")
+fig.suptitle("wavevector ensemble (2$^{17}$ packets, TPU f32): "
+             "ring $\\to$ annulus refraction diffusion", fontsize=10)
+fig.tight_layout()
+fig.savefig(os.path.join(figs, "kspace_snapshots.png"), dpi=120)
+plt.close(fig)
+
 # ---- final PV + packet snapshot
 nx = pg["nx"]
 ns = binio.frame_count(os.path.join(G, "packet_snap_x"),
