@@ -45,7 +45,7 @@ omb = spectra.omega_of_k(kb, f, Cg)
 
 # window half-width in TIME: the reference's +-500 packet frames
 half_t = 500 * 5 * pb["dt"]
-release = 1000.0 / 3.0
+release = 400.0
 t_end = min(tg[-1], tb[-1])
 centers_t = [release + half_t + 1.0,
              release + 0.25 * (t_end - release),
@@ -128,7 +128,7 @@ ns_all = binio.frame_count(os.path.join(G, "packet_snap_k"),
                            pg["n_packets"], 2)
 tsnap = binio.read_field(os.path.join(G, "packet_snap_time"))
 pick = [i for i in range(1, ns_all + 1)
-        if tsnap[i - 1] >= 1000.0 / 3.0 - 1] or [ns_all]
+        if tsnap[i - 1] >= release - 1] or [ns_all]
 pick = pick[:: max(1, len(pick) // 4)][:4] + [ns_all]
 fig, axes = plt.subplots(1, len(pick), figsize=(3.2 * len(pick), 3.4),
                          sharex=True, sharey=True)

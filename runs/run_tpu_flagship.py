@@ -23,10 +23,10 @@ sys.path.insert(0, "/root/repo")
 from swraytracing_tpu.drivers import qgsw_raytrace  # noqa: E402
 
 out = "/root/repo/runs/tpu_flagship"
-# Run B's horizon: t in [0, 2101.25], packet release at t=333.33 (the
-# reference's committed spin-up AND run B's observed release — run B's
-# run.log "Spin-up 1200" line is a round-3 logging artifact; its packet
-# data spreads from t~333). dt here is deterministic for this config
+# Run B's horizon: t in [0, 2101.25], packet release at t=400 (run B's
+# run.log "Spin-up time: 1200" records packet_delay_DAYS under the
+# round-3 writer; 1200/f = 400 matches its data — packets frozen at
+# t=342, spreading by t=416). dt here is deterministic for this config
 # (seed 146, f32 on-device max-speed): 0.0030597178, so the horizon is
 # hit by capping steps.
 max_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 687000
@@ -36,7 +36,7 @@ resume = os.path.exists(os.path.join(out, "ckpt")) or any(
 
 qgsw_raytrace(
     nx=256, Npackets=2**17, near_inertial_factor=2.0,
-    T_Fr_days=6000.0, packet_delay_days=1000.0, U_g=0.4, f=3.0, Cg=1.0,
+    T_Fr_days=6000.0, packet_delay_days=1200.0, U_g=0.4, f=3.0, Cg=1.0,
     out_dir=out,
     # corrected-physics branch, matching run B (RESULTS.md "Notes on
     # fidelity"): the reference's committed +r_drag*K2 line is a defect
