@@ -330,3 +330,46 @@ def test_qg2_cfl_recheck_rebuilds_march(tmp_path, capsys):
     assert np.isfinite(np.asarray(carry.flow_state.qk)).all()
     m = rd.read_metrics()
     assert m and not any(mm.get("blow_up") for mm in m)
+
+
+def test_wavefield_reconstruction():
+    """The wavefield synthesis the reference sketches but never ran
+    (raytrace_sw.m:204-218): single packet -> locally a plane wave of
+    its wavenumber under a Gaussian envelope peaking sqrt(a/omega) at
+    the packet; superposition is linear; periodic in the domain."""
+    import jax.numpy as jnp
+
+    from swraytracing_tpu.analysis.wavefield import reconstruct_wavefield
+    from swraytracing_tpu.models.dispersion import Dispersion
+    from swraytracing_tpu.ops.grid import SpectralGrid
+
+    grid = SpectralGrid.square(64)
+    disp = Dispersion(f=3.0, Cg=1.0)
+    L = grid.Lx
+    x = jnp.asarray([[L / 2], [L / 2]])
+    k = jnp.asarray([[8.0], [0.0]])
+    a = jnp.asarray([2.0])
+    eta = np.asarray(reconstruct_wavefield(x, k, grid, disp, action=a,
+                                           width=1.0))
+    om = float(np.sqrt(9.0 + 64.0))
+    i0 = 32  # grid index of L/2
+    # crest at the packet, amplitude sqrt(a/omega)
+    assert abs(eta[i0, i0] - np.sqrt(2.0 / om)) < 1e-6
+    # local wavelength along x: the next crest is ~2*pi/8 away and is a
+    # local maximum of the row
+    row = eta[:, i0]
+    lam_cells = int(round(2 * np.pi / 8.0 / grid.dx))
+    j = i0 + lam_cells
+    assert row[j] == row[j - 3:j + 4].max() and row[j] > 0
+    # envelope decays away from the packet
+    assert abs(eta[0, 0]) < 1e-3 * eta[i0, i0]
+    # superposition is linear
+    x2 = jnp.asarray([[L / 4, 3 * L / 4], [L / 2, L / 2]])
+    k2 = jnp.asarray([[8.0, 8.0], [0.0, 0.0]])
+    both = np.asarray(reconstruct_wavefield(x2, k2, grid, disp))
+    one = np.asarray(reconstruct_wavefield(x2[:, :1], k2[:, :1], grid,
+                                           disp))
+    two = np.asarray(reconstruct_wavefield(x2[:, 1:], k2[:, 1:], grid,
+                                           disp))
+    # (default narrow envelope for the superposition check)
+    np.testing.assert_allclose(both, one + two, atol=1e-12)
