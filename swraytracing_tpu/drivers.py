@@ -655,6 +655,19 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
 
     frame_i = np.full(E, chunk0 * saves_per_pv + 1, np.int64)
     last_t = np.full(E, -1.0)
+    if chunk0:
+        # Resume: continue each member's frame series from its FILE, not
+        # from the chunk arithmetic — members frozen before the
+        # checkpoint have shorter series (frames stop when t stalls),
+        # and live members' re-run chunks must skip the frames already
+        # written (identical, deterministic) instead of leaving gaps.
+        for i, rd in enumerate(rds):
+            tpath = rd.file("packet_time")
+            n_i = binio.frame_count(tpath, 1)
+            if n_i:
+                ts_i = binio.read_field(tpath)
+                frame_i[i] = n_i
+                last_t[i] = float(ts_i[-1])
     t_start = time.time()
     margin_retries = 0
     writer = AsyncWriter()
