@@ -41,8 +41,8 @@ for rd, counts, edges, t, p in members:
     # windows: shortly after release, mid-scatter, final (offset 500
     # frames as the reference, clipped to the member's own length)
     off = min(500, max(1, (n - i0) // 4))
-    idxs = sorted({min(i0 + off + 1, n - off - 1),
-                   (i0 + n) // 2, n - off - 1})
+    idxs = sorted({min(max(j, 0), n - 1)
+                   for j in (i0 + off + 1, (i0 + n) // 2, n - off - 1)})
     ctr = 0.5 * (edges[1:] + edges[:-1])
     fig, ax = plt.subplots(figsize=(6, 4.5))
     cmap = plt.cm.viridis(np.linspace(0.2, 0.85, len(idxs)))
