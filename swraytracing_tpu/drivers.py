@@ -625,7 +625,6 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
             n_saves=saves_per_pv, diag_fn=diag))
 
     if mesh is not None:
-        from .parallel import sharding as shd
         from jax.sharding import NamedSharding, PartitionSpec as P
         pack = NamedSharding(mesh, P("ensemble", None, "packets"))
         memb = NamedSharding(mesh, P("ensemble"))
