@@ -34,12 +34,14 @@ STEPPER = os.environ.get("BENCH_STEPPER", "rk23")
 # under that (a fused-march lock-step at 1e6 packets is ~40 ms device
 # time; 20 steps/call ~ 1 s).
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "20"))
-# Packet substeps per flow step. Default 4 (the shipping config).
-# BENCH_SUBSTEPS=2 is also VALIDATED against the adaptive-ode23 oracle
+# Packet substeps per flow step. Default 2 (the shipping config since
+# round 5), VALIDATED against the adaptive-ode23 oracle
 # (models/coupled.py lockstep_step docstring: err 3.1-3.9e-10 at the
-# headline config, ~2600x inside the reference's 1e-6 envelope) and
-# halves the march kernel's stage evaluations.
-N_SUBSTEPS = int(os.environ.get("BENCH_SUBSTEPS", "4"))
+# headline config, ~2600x inside the reference's 1e-6 envelope); it
+# halves the march kernel's stage evaluations vs the old default 4
+# (+28% measured: 48.16M vs 37.57M packet-steps/s). BENCH_SUBSTEPS=4
+# restores the wider-margin config.
+N_SUBSTEPS = int(os.environ.get("BENCH_SUBSTEPS", "2"))
 # One-kernel window build (MarchSpec.fused_build); default off until
 # benchmarks/winbuild_probe.py decides.
 FUSED_BUILD = os.environ.get("BENCH_FUSED_BUILD", "0") == "1"

@@ -90,7 +90,7 @@ def dma_gather(W, starts, K, write_out=True):
         in_specs=[
             pl.BlockSpec((BLOCK,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
         out_shape=out_shape,

@@ -19,18 +19,36 @@ import matplotlib.pyplot as plt
 sys.path.insert(0, "/root/repo")
 from swraytracing_tpu.analysis import spectra  # noqa: E402
 
-base = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/sweep_full"
+# Usage: analyze_sweep.py [base [override_base ...]] — members are
+# run-<i> dirs; later bases OVERRIDE earlier ones for the same member
+# index (the round-5 T=2000 strong-flow continuation in sweep_b2000
+# supersedes sweep_full's truncated U_g>=0.6 members). Figures and
+# sweep_summary.json go to the FIRST base.
+bases = sys.argv[1:] or ["/root/repo/runs/sweep_full"]
+base = bases[0]
 figs = os.path.join(base, "figs")
 os.makedirs(figs, exist_ok=True)
 
+member_dirs = {}
+for b in bases:
+    i = 0
+    found = 0
+    while True:
+        rd = os.path.join(b, f"run-{i}")
+        if os.path.isdir(rd):
+            member_dirs[i] = rd
+            found += 1
+        elif i > 40:
+            break
+        i += 1
+    print(f"{found} member dirs in {b}")
+
 members = []
-i = 0
-while os.path.isdir(os.path.join(base, f"run-{i}")):
-    rd = os.path.join(base, f"run-{i}")
+for i in sorted(member_dirs):
+    rd = member_dirs[i]
     counts, edges, t, params = spectra.load_omega_hist(rd)
     members.append((rd, counts, edges, t, params))
-    i += 1
-print(f"{len(members)} members loaded from {base}")
+print(f"{len(members)} members loaded")
 
 summary = []
 for rd, counts, edges, t, p in members:

@@ -82,6 +82,10 @@ def main(argv=None):
         from . import drivers
 
         if args.ensemble:
+            if args.model != "qgsw":
+                ap.error("--ensemble supports only --model qgsw (the "
+                         "vmapped ensemble runs the one-layer physics); "
+                         "run a qg2 sweep without --ensemble")
             drivers.run_sweep(
                 base_dir=args.base_dir, ensemble=True, nx=args.nx,
                 Npackets=args.packets, T_Fr_days=args.t_fr_days,

@@ -131,7 +131,11 @@ def load_omega_hist(run_dir):
     nf = len(t)
     counts = binio.read_field(os.path.join(str(run_dir), "omega_hist"),
                               nb + 1, 1, 1, list(range(1, nf + 1)))
-    edges = np.linspace(0.0, wmax, nb + 1)
+    if params.get("omega_hist_log"):
+        edges = np.geomspace(float(params["omega_hist_min"]), wmax,
+                             nb + 1)
+    else:
+        edges = np.linspace(0.0, wmax, nb + 1)
     return counts.T, edges, t, params
 
 
@@ -153,10 +157,17 @@ def hist_windows(counts, times_idx, offset: int = 500):
 def energy_vs_omega_hist(counts, edges):
     """e(omega) from a pooled count row (load_data.m:50: energy
     = binCenter * count). Drops the overflow slot if present.
-    Returns (centers, energy)."""
+    Returns (centers, energy).
+
+    For non-uniform (log-spaced) edges each bin's count is rescaled by
+    mean_width/width so the curve is the same density estimate
+    load_data.m's equal bins produce — with uniform edges the factor is
+    exactly 1 and this reduces to binCenter * count."""
     counts = np.asarray(counts, dtype=np.float64)
     centers = 0.5 * (edges[1:] + edges[:-1])
-    return centers, centers * counts[:len(centers)]
+    widths = np.diff(edges)
+    return centers, centers * counts[:len(centers)] * (widths.mean()
+                                                       / widths)
 
 
 def hist_moments(counts, edges):

