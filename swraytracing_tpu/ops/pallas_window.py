@@ -476,11 +476,18 @@ def _eval_fields(pw1, pw2, x0, x1, alpha, oi, oj, spec: MarchSpec):
     dj = jnp.clip(dj, -m, m)
     wex = _extended_weights(_lagrange_ws(fx, spec.order), di, spec)
     wey = _extended_weights(_lagrange_ws(fy, spec.order), dj, spec)
-    w2 = wex[:, None, :] * wey[None, :, :]            # (SW, SW, B)
     one = jnp.asarray(1.0, pw1.dtype)
     v = ((one - alpha) * pw1 + alpha * pw2)           # blend
+    # SEPARABLE contraction (round-5 kernel roofline, PERF.md): the 2-D
+    # stencil weight is wex (x) wey, so contract the y axis once per
+    # field (ty = sum_j v[..,j,:] wey_j) and finish with SW-long x
+    # contractions — ~1.4x fewer VPU ops than materializing the
+    # (SW, SW, B) weight products and running SW^2-long reductions
+    # per output (exact reassociation of the same products; tested
+    # against the stencil-gather oracle at the usual tolerances).
+    ty = (v * wey[None, None, :, :]).sum(2)           # (nf, SW, B)
     if not spec.grad_from_interp:
-        vals = (v * w2[None]).sum((1, 2))             # (nf, B)
+        vals = (ty * wex[None, :, :]).sum(1)          # (nf, B)
         return vals, ov
     # nf=2 windows (u, v): the velocity-gradient tensor comes from the
     # DERIVATIVE of the Lagrange interpolant instead of interpolating
@@ -489,14 +496,13 @@ def _eval_fields(pw1, pw2, x0, x1, alpha, oi, oj, spec: MarchSpec):
     # f32 epsilon production runs live at, and 3x less gather traffic.
     dwex = _extended_weights(_lagrange_dws(fx, spec.order), di, spec)
     dwey = _extended_weights(_lagrange_dws(fy, spec.order), dj, spec)
-    wdx2 = dwex[:, None, :] * wey[None, :, :]
-    wdy2 = wex[:, None, :] * dwey[None, :, :]
-    u = (v[0] * w2).sum((0, 1))
-    vv = (v[1] * w2).sum((0, 1))
-    ux = (v[0] * wdx2).sum((0, 1)) * (1.0 / spec.dx)
-    uy = (v[0] * wdy2).sum((0, 1)) * (1.0 / spec.dy)
-    vx = (v[1] * wdx2).sum((0, 1)) * (1.0 / spec.dx)
-    vy = (v[1] * wdy2).sum((0, 1)) * (1.0 / spec.dy)
+    tdy = (v * dwey[None, None, :, :]).sum(2)         # (nf, SW, B)
+    u = (ty[0] * wex).sum(0)
+    vv = (ty[1] * wex).sum(0)
+    ux = (ty[0] * dwex).sum(0) * (1.0 / spec.dx)
+    uy = (tdy[0] * wex).sum(0) * (1.0 / spec.dy)
+    vx = (ty[1] * dwex).sum(0) * (1.0 / spec.dx)
+    vy = (tdy[1] * wex).sum(0) * (1.0 / spec.dy)
     return jnp.stack([u, vv, ux, uy, vx, vy]), ov
 
 
