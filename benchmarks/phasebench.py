@@ -33,9 +33,16 @@ from swraytracing_tpu.ops import interp
 NX = 512
 NP = 1_048_576  # 2^20: block-aligned (see bench.py)
 
+import os
+
+# PHASE_SUBSTEPS overrides the config default (2 since round 5) so the
+# kernel phase can be measured on the n=4 basis PERF's older rows used.
+N_SUB = int(os.environ.get("PHASE_SUBSTEPS", "0"))
 cfg = C2.Coupled2Config(nx=NX, n_packets=NP, T_Fr_days=6000.0,
                         packet_delay_days=0.01, U_g=0.4, f=3.0, Cg=1.0,
                         packet_steps_per_save=5)
+if N_SUB:
+    cfg = cfg._replace(n_substeps=N_SUB)
 s, carry = C2.setup_coupled2(cfg)
 print("setup done", flush=True)
 

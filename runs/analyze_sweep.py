@@ -151,3 +151,35 @@ with open(os.path.join(base, "sweep_summary.json"), "w") as fh:
     json.dump(summary, fh, indent=1)
 print(json.dumps(summary, indent=1))
 print("figures written to", figs)
+
+# PV animation for members that kept a frame series (pv_every > 0) —
+# qgflow_animation.m on sweep members (r4 verdict missing #3). Set
+# SWEEP_ANIMATE=run-4 (or "all") to render; skipped by default to keep
+# the analysis pass cheap.
+want = os.environ.get("SWEEP_ANIMATE", "")
+if want:
+    from swraytracing_tpu.io import binio
+    from swraytracing_tpu.ops.grid import SpectralGrid
+    from swraytracing_tpu.analysis import plots
+
+    for i in sorted(member_dirs):
+        rd = member_dirs[i]
+        if want not in ("all", os.path.basename(rd)):
+            continue
+        tpv = binio.read_field(os.path.join(rd, "pv_time"))
+        if len(tpv) < 3:
+            print(f"{rd}: no PV series (pv_every was 0); skipping")
+            continue
+        p = members[[os.path.basename(m[0])
+                     for m in members].index(os.path.basename(rd))][4]
+        nxm = int(p["nx"])
+        q = binio.read_field(os.path.join(rd, "pv"), nxm, nxm,
+                             frames=list(range(1, len(tpv) + 1)))
+        q = np.moveaxis(q, -1, 0)                     # (nf, nx, nx)
+        grid = SpectralGrid.square(nxm)
+        out = os.path.join(figs, f"pv_anim_{os.path.basename(rd)}")
+        paths = plots.animate_pv(q, grid, out, times=np.asarray(tpv),
+                                 gif_path=os.path.join(
+                                     figs,
+                                     f"pv_{os.path.basename(rd)}.gif"))
+        print(f"{rd}: {len(paths)} PV frames ->", out)
