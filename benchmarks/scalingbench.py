@@ -119,6 +119,6 @@ else:
     out["points"] = [p._asdict() for p in points]
 
 print(json.dumps(out, indent=2))
-path = _pl.Path(__file__).resolve().parents[1] / f"SCALING_r04_{MODE}.json"
+path = _pl.Path(__file__).resolve().parents[1] / f"SCALING_r05_{MODE}.json"
 path.write_text(json.dumps(out, indent=2) + "\n")
 print(f"wrote {path}")

@@ -382,3 +382,33 @@ def test_census_regex_counts_definitions_only():
         counts[m.group(1)] = counts.get(m.group(1), 0) + 1
     assert counts == {"all-reduce": 2, "all-gather": 1,
                       "collective-permute": 1}, counts
+
+
+def test_vmapped_log_hist_matches_numpy():
+    """The log-binned per-member histogram (round-5 sweep science grid)
+    under vmap with traced per-member omega_max must equal numpy
+    histogramming on each member's geomspace edges."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swraytracing_tpu.analysis.device_diag import (OmegaHistSpec,
+                                                       omega_hist_counts,
+                                                       hist_edges)
+
+    f, Cg = 3.0, 1.0
+    rng = np.random.default_rng(0)
+    pk = jnp.asarray(rng.standard_normal((3, 2, 256)) * 40.0)
+    wmax = jnp.asarray([64.0 * w0 * f for w0 in (2.0, 4.0, 16.0)])
+    spec = OmegaHistSpec(n_bins=48, omega_max=1.0, f=f, Cg=Cg,
+                         omega_min=f, log_bins=True)
+    counts = np.asarray(jax.jit(jax.vmap(
+        lambda k, w: omega_hist_counts(k, spec, omega_max=w)))(pk, wmax))
+    assert counts.shape == (3, 49)
+    for i in range(3):
+        om = np.sqrt(f**2 + Cg**2 * np.asarray(
+            pk[i, 0]**2 + pk[i, 1]**2))
+        edges = np.asarray(hist_edges(spec._replace(
+            omega_max=float(wmax[i]))))
+        ref = np.histogram(om, np.append(edges, np.inf))[0]
+        np.testing.assert_array_equal(counts[i], ref)
