@@ -1,27 +1,30 @@
-"""Round-5 strong-flow sweep extension: the 12 U_g >= 0.6 members of
+"""Round-5 strong-flow sweep re-run: the 12 U_g >= 0.6 members of
 the reference's 20-config sweep (/root/reference/parameters.txt,
-runqgsw_raytrace.sbatch:10) run to the reference's committed horizon
-T=2000 ("Simulation time: 2000" in every analysis/job-37011720 run.log)
-— closing round-4 verdict items 3+4 in one pass:
+runqgsw_raytrace.sbatch:10) with LOG-SPACED omega histograms — closing
+round-4 verdict item 3 (histogram truncation) and advancing item 4
+(horizon) as far as the round's chip-time budget reaches:
 
-- SEEDED from run H's final group-B checkpoint (all 12 members sit at
-  t ~ 489-500 in ckpt-g2_000000000400.npz; trajectories continue
-  deterministically), so only the remaining ~1.23M coupled steps of the
-  slowest (U_g=1.0) members are computed (~4.4 h at run H's measured
-  12.9 s per 1000-step chunk).
 - LOG-SPACED omega histograms on [f, 64*w0*f] (400 bins, ~1.7%/bin):
   run H's linear 2*w0*f grid truncated 2.8-3.1% of the U_g=1.0 members'
   counts (the omega^-2 wing); the log grid keeps the high-omega tail
   in-range at any horizon while resolving the near-inertial peak finer
   than the old linear grid did.
+- FROM t=0: the plan was to seed from run H's final group-B checkpoint
+  (t ~ 489-500) and continue to the reference horizon T=2000, but the
+  checkpoints are .gitignored bulk artifacts and did not survive the
+  inter-round workspace reset — only committed files persist. The
+  trajectories are re-integrated from the same ICs (deterministic
+  seeds); T=2000 for the slowest members is ~1.6M coupled steps
+  (~5.8 h at run H's measured 12.9 s per 1000-step chunk), so the
+  horizon target rides this run's OWN checkpoints across segments and
+  future chip time (pass max_steps per segment; re-running resumes).
 - Per-member PV frame series every 4 chunks (verdict item 6 — the
   reference writes PV every 50 steps, qgsw_raytrace.m:165-172; chunk
   granularity is what the ~4 MB/s tunnel affords at 12 members).
 
 Writes runs/sweep_b2000/run-{i} with parameters.txt member numbering;
 analysis merges these with runs/sweep_full's group A (runs/
-analyze_sweep.py, multi-base). Re-running resumes from this run's OWN
-checkpoints (frames continue from the files).
+analyze_sweep.py, multi-base).
 """
 import sys
 
@@ -30,7 +33,6 @@ sys.path.insert(0, "/root/repo")
 from swraytracing_tpu.drivers import run_sweep  # noqa: E402
 
 base = "/root/repo/runs/sweep_b2000"
-seed_ckpt = "/root/repo/runs/sweep_full/ckpt-g2_000000000400.npz"
 
 W0S = (2.0, 4.0, 8.0, 16.0)
 UGS = (0.2, 0.4, 0.6, 0.8, 1.0)
@@ -51,5 +53,5 @@ run_sweep(
     window_min_np=2**13,                 # engage the fused march at 2^14
     pv_every=4,
     T_member=lambda w0, ug: 2000.0,
-    init_from=seed_ckpt, resume=True,
+    resume=True,
     checkpoint_every=40, max_steps=max_steps, max_margin_retries=4)
